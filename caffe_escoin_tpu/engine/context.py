@@ -1,0 +1,85 @@
+"""Execution policy: the TPU-native replacement for `Caffe::conv_mode`.
+
+The reference selects the convolution algorithm through a *global* singleton
+enum settable only from the `test` CLI command, with hardcoded profitability
+thresholds (`include/caffe/common.hpp:112,154`, `tools/caffe.cpp:293-301`,
+thresholds 0.5/0.8/0.2 in `src/caffe/layers/base_conv_layer.cpp:548,727,752`).
+SURVEY.md flags this as a wart; here the policy is an explicit, per-layer
+configurable object threaded through op construction — no global mutable
+state inside jit-traced code (mode choices are trace-time static).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class ConvMode(enum.IntEnum):
+    """Convolution execution modes (reference `Caffe::ConvMode`,
+    `include/caffe/common.hpp:112`). Same four capabilities, TPU meanings:
+
+    LOWERED_GEMM   — dense XLA convolution (`lax.conv_general_dilated`), the
+                     MXU-native dense baseline (reference: im2col + cuBLAS).
+    LOWERED_SPARSE — im2col (patch extraction) + sparse weight SpMM
+                     (reference: cuSPARSE csrmm2). ELL for unstructured CSR
+                     semantics, BSR for MXU block-skipping performance.
+    SCONV          — direct sparse convolution, no materialized im2col:
+                     per-kernel-offset block-sparse shift-matmul Pallas kernel
+                     streaming the padded ifmap through VMEM (reference:
+                     `caffe_gpu_sconv` custom kernels).
+    SCONV_PAR      — batch-parallel direct sparse conv: one weight-block fetch
+                     amortized over the whole batch (reference:
+                     `sconv_batch_tiled`, FMAP_BLOCK register blocking). On TPU
+                     this folds the batch dim into the kernel grid so weight
+                     blocks stay VMEM-resident across images.
+    """
+
+    LOWERED_GEMM = 0
+    LOWERED_SPARSE = 1
+    SCONV = 2
+    SCONV_PAR = 3
+
+
+class SparseFormat(enum.Enum):
+    CSR = "csr"  # interchange only
+    ELL = "ell"  # unstructured, gather-FMA kernels
+    BSR = "bsr"  # block-structured, MXU block-skip kernels
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecutionPolicy:
+    """Per-layer (or net-default) execution policy.
+
+    ``sparse_threshold`` / ``sconv_threshold``: minimum weight sparsity at
+    which the sparse paths are profitable; below them the layer silently falls
+    back to dense GEMM, mirroring the reference's density-based fallbacks
+    (`base_conv_layer.cpp:548,727,752`) but configurable instead of hardcoded.
+    """
+
+    conv_mode: ConvMode = ConvMode.LOWERED_GEMM
+    sparse_format: SparseFormat = SparseFormat.BSR
+    block_shape: Tuple[int, int] = (8, 128)  # (cin-block, cout-block) MXU tile
+    sparse_threshold: float = 0.5  # LOWERED_SPARSE profitability
+    sconv_threshold: float = 0.5  # SCONV/SCONV_PAR profitability
+    fuse_relu: bool = True  # fold layer's ReLU into the sparse kernel epilogue
+    compute_dtype: object = None  # e.g. jnp.bfloat16; None = input dtype
+    interpret: bool = False  # run pallas kernels in interpreter mode (tests)
+
+    def replace(self, **kw) -> "ExecutionPolicy":
+        return dataclasses.replace(self, **kw)
+
+
+_DEFAULT = ExecutionPolicy()
+
+
+def default_policy() -> ExecutionPolicy:
+    return _DEFAULT
+
+
+def set_default_conv_mode(mode: ConvMode) -> None:
+    """Convenience for CLI parity with `caffe test -conv_mode N`. Only affects
+    nets built afterwards (policies are captured at construction)."""
+    global _DEFAULT
+    _DEFAULT = _DEFAULT.replace(conv_mode=ConvMode(mode))

@@ -1,0 +1,81 @@
+"""Weight pruning utilities.
+
+The reference consumes pre-pruned SkimCaffe/GESL models (`run.sh:3-5`); it does
+not prune itself beyond L1 regularization pressure during training
+(`src/caffe/solvers/sgd_solver.cpp:144-206`, `ParamSpec.regularization_type`).
+This framework must *produce* its own sparse models for benchmarks, so we
+provide magnitude pruning at two granularities:
+
+* element-wise (unstructured) — parity with the reference's CSR models;
+* block-wise — prunes (bm, bk) blocks by Frobenius norm, producing BSR-friendly
+  structured sparsity that the MXU block-skipping kernels turn into wall-clock
+  speedup (an unstructured 90%-sparse matrix has almost no empty 128-wide
+  blocks; structured pruning is the TPU-native path to the paper's speedups).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def prune_magnitude(w, sparsity: float):
+    """Zero out the smallest-|w| fraction ``sparsity`` of entries."""
+    w = np.asarray(w).copy()
+    if sparsity <= 0:
+        return w
+    k = int(round(w.size * sparsity))
+    if k >= w.size:
+        return np.zeros_like(w)
+    if k == 0:
+        return w
+    thresh = np.partition(np.abs(w).ravel(), k - 1)[k - 1]
+    w[np.abs(w) <= thresh] = 0
+    return w
+
+
+def prune_blocks(w, sparsity: float, block_shape: Tuple[int, int]):
+    """Zero out the lowest-norm fraction ``sparsity`` of (bm, bk) blocks of a
+    2-D matrix (zero-padding partial edge blocks into consideration)."""
+    w = np.asarray(w).copy()
+    rows, cols = w.shape
+    bm, bk = block_shape
+    R, C = -(-rows // bm) * bm, -(-cols // bk) * bk
+    wp = np.zeros((R, C), w.dtype)
+    wp[:rows, :cols] = w
+    nbr, nbc = R // bm, C // bk
+    blocked = wp.reshape(nbr, bm, nbc, bk).transpose(0, 2, 1, 3)
+    norms = np.sqrt((blocked.astype(np.float64) ** 2).sum(axis=(2, 3)))
+    n_blocks = nbr * nbc
+    k = int(round(n_blocks * sparsity))
+    if k > 0:
+        flat = norms.ravel()
+        if k >= n_blocks:
+            blocked[:] = 0
+        else:
+            thresh = np.partition(flat, k - 1)[k - 1]
+            blocked[norms <= thresh] = 0
+    out = blocked.transpose(0, 2, 1, 3).reshape(R, C)[:rows, :cols]
+    return out
+
+
+def prune_conv_weight(w_hwio, sparsity: float, block_shape=None):
+    """Prune a conv weight [KH,KW,Cin,Cout]. If ``block_shape`` is given the
+    weight is pruned block-wise in its (Cin, Cout) GEMM view per kernel
+    offset (matching the direct-conv per-offset BSR execution); otherwise
+    element-wise over the whole tensor."""
+    w = np.asarray(w_hwio)
+    if block_shape is None:
+        return prune_magnitude(w, sparsity)
+    kh, kw, cin, cout = w.shape
+    out = np.empty_like(w)
+    for i in range(kh):
+        for j in range(kw):
+            out[i, j] = prune_blocks(w[i, j], sparsity, block_shape)
+    return out
+
+
+def sparsity_of(w) -> float:
+    w = np.asarray(w)
+    return float((w == 0).mean())
