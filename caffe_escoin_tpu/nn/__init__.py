@@ -1,0 +1,2 @@
+from caffe_escoin_tpu.nn.net import Layer, LayerSpec, Net, register_layer  # noqa: F401
+from caffe_escoin_tpu.nn import layers as _layers  # noqa: F401  (registry population)

@@ -1,0 +1,474 @@
+"""The layer catalog.
+
+Each class maps one reference layer type (`src/caffe/layers/*`) onto the pure
+ops in `caffe_escoin_tpu.ops`. Conv and InnerProduct carry the sparse-execution
+machinery (WeightAlign -> AlignedConvWeight -> mode dispatch); everything else
+is thin. Layer params are plain dicts of arrays so the whole net's params form
+one pytree for jit/grad/pjit.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caffe_escoin_tpu.engine.context import ConvMode
+from caffe_escoin_tpu.nn.fillers import fill
+from caffe_escoin_tpu.nn.net import Layer, register_layer
+from caffe_escoin_tpu.ops import activations as act
+from caffe_escoin_tpu.ops import conv as conv_ops
+from caffe_escoin_tpu.ops import linear as linear_ops
+from caffe_escoin_tpu.ops import losses as loss_ops
+from caffe_escoin_tpu.ops import norm as norm_ops
+from caffe_escoin_tpu.ops import pool as pool_ops
+from caffe_escoin_tpu.ops import structural as struct_ops
+from caffe_escoin_tpu.sparse.weight_align import AlignedConvWeight, weight_align
+
+
+def _pair(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v)
+
+
+@register_layer("Input")
+class InputLayer(Layer):
+    """Declares an externally-fed blob (input_layer.cpp)."""
+
+    category = "data"
+
+    def apply(self, params, inputs, *, train, rng):
+        return list(inputs)
+
+    def out_shapes(self, params, in_shapes):
+        return list(in_shapes)
+
+
+@register_layer("Convolution")
+class ConvolutionLayer(Layer):
+    """Mode-dispatched conv (conv_layer.cpp / base_conv_layer.cpp).
+
+    params keys: num_output, kernel (int or pair), stride, pad, dilation,
+    group, bias_term, weight_filler, bias_filler, fuse_relu.
+    """
+
+    category = "conv"
+
+    def _conf(self, cin):
+        p = self.p
+        kh, kw = _pair(p.get("kernel", 3))
+        return dict(
+            kernel=(kh, kw),
+            stride=_pair(p.get("stride", 1)),
+            pad=_pair(p.get("pad", 0)),
+            dilation=_pair(p.get("dilation", 1)),
+            groups=p.get("group", 1),
+            cout=p["num_output"],
+            bias=p.get("bias_term", True),
+            cin=cin,
+        )
+
+    def init_params(self, rng, in_shapes):
+        c = self._conf(in_shapes[0][-1])
+        kh, kw = c["kernel"]
+        cin_g = c["cin"] // c["groups"]
+        r1, r2 = jax.random.split(rng)
+        fan_in = kh * kw * cin_g
+        w = fill(r1, (kh, kw, cin_g, c["cout"]),
+                 self.p.get("weight_filler", {"type": "xavier"}), fan_in=fan_in)
+        params = {"w": w}
+        if c["bias"]:
+            params["b"] = fill(r2, (c["cout"],),
+                               self.p.get("bias_filler", {"type": "constant"}))
+        return params
+
+    def align(self, params):
+        if isinstance(params, AlignedConvWeight):
+            return params
+        return weight_align(
+            params["w"], params.get("b"), groups=self.p.get("group", 1),
+            policy=self.policy,
+        )
+
+    def apply(self, params, inputs, *, train, rng):
+        (x,) = inputs
+        c = self._conf(x.shape[-1])
+        fuse_relu = self.p.get("fuse_relu", False) and self.policy.fuse_relu
+        if isinstance(params, AlignedConvWeight):
+            out = conv_ops.conv2d(
+                x, params, stride=c["stride"], padding=c["pad"],
+                dilation=c["dilation"], relu=fuse_relu, policy=self.policy,
+            )
+        else:
+            out = conv_ops.conv2d_dense(
+                x, params["w"], params.get("b"), stride=c["stride"],
+                padding=c["pad"], dilation=c["dilation"], groups=c["groups"],
+                relu=fuse_relu,
+            )
+        return [out]
+
+
+@register_layer("ConvolutionReLU")
+class ConvolutionReLULayer(ConvolutionLayer):
+    """Conv with ReLU fused into the sparse kernel epilogue
+    (conv_relu_layer.cpp; `sconv_relu_*` kernels)."""
+
+    def __init__(self, spec, policy):
+        super().__init__(spec, policy)
+        self.p["fuse_relu"] = True
+
+
+@register_layer("EscConvolution")
+class EscConvolutionLayer(ConvolutionLayer):
+    """The reference's dense-baseline conv (esc_conv_layer.cu pins cuDNN
+    IMPLICIT_GEMM). On TPU the pinned dense baseline is XLA's conv; this
+    subclass forces LOWERED_GEMM regardless of net policy."""
+
+    def __init__(self, spec, policy):
+        super().__init__(spec, policy.replace(conv_mode=ConvMode.LOWERED_GEMM))
+
+
+@register_layer("InnerProduct")
+class InnerProductLayer(Layer):
+    """FC layer (inner_product_layer.cpp). Sparse execution reuses the conv
+    SpMM machinery via a 1x1 GEMM-view AlignedConvWeight."""
+
+    category = "fc"
+
+    def init_params(self, rng, in_shapes):
+        k = int(np.prod(in_shapes[0][1:]))
+        m = self.p["num_output"]
+        r1, r2 = jax.random.split(rng)
+        params = {"w": fill(r1, (k, m), self.p.get("weight_filler", {"type": "xavier"}),
+                            fan_in=k)}
+        if self.p.get("bias_term", True):
+            params["b"] = fill(r2, (m,), self.p.get("bias_filler", {"type": "constant"}))
+        return params
+
+    def align(self, params):
+        if isinstance(params, AlignedConvWeight):
+            return params
+        w = np.asarray(jax.device_get(params["w"]))  # (K, M)
+        return weight_align(
+            w[None, None], params.get("b"), policy=self.policy
+        )
+
+    def apply(self, params, inputs, *, train, rng):
+        (x,) = inputs
+        x2 = x.reshape(x.shape[0], -1)
+        if isinstance(params, AlignedConvWeight):
+            aligned = params
+            if (
+                aligned.bsc is not None
+                and aligned.sparsity >= self.policy.sparse_threshold
+                and self.policy.conv_mode != ConvMode.LOWERED_GEMM
+            ):
+                out = linear_ops.linear_sparse(x2, aligned.bsc, aligned.bias)
+            else:
+                w = aligned.dense.reshape(aligned.k, aligned.cout)
+                out = linear_ops.linear(x2, w, aligned.bias)
+        else:
+            out = linear_ops.linear(x2, params["w"], params.get("b"))
+        return [out]
+
+
+@register_layer("Pooling")
+class PoolingLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        (x,) = inputs
+        p = self.p
+        if p.get("global_pooling", False):
+            return [pool_ops.pool2d(x, (1, 1), mode=p.get("mode", "avg"),
+                                    global_pool=True)]
+        return [
+            pool_ops.pool2d(
+                x,
+                _pair(p.get("kernel", 2)),
+                stride=_pair(p.get("stride", p.get("kernel", 2))),
+                padding=_pair(p.get("pad", 0)),
+                mode=p.get("mode", "max"),
+                ceil_mode=p.get("ceil_mode", True),
+            )
+        ]
+
+
+@register_layer("ReLU")
+class ReLULayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.relu(inputs[0], self.p.get("negative_slope", 0.0))]
+
+
+@register_layer("PReLU")
+class PReLULayer(Layer):
+    def init_params(self, rng, in_shapes):
+        c = in_shapes[0][-1]
+        n = 1 if self.p.get("channel_shared", False) else c
+        return {"alpha": jnp.full((n,), self.p.get("alpha_init", 0.25), jnp.float32)}
+
+    def apply(self, params, inputs, *, train, rng):
+        return [act.prelu(inputs[0], params["alpha"])]
+
+
+@register_layer("ELU")
+class ELULayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.elu(inputs[0], self.p.get("alpha", 1.0))]
+
+
+@register_layer("Sigmoid")
+class SigmoidLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.sigmoid(inputs[0])]
+
+
+@register_layer("TanH")
+class TanHLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.tanh(inputs[0])]
+
+
+@register_layer("BNLL")
+class BNLLLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.bnll(inputs[0])]
+
+
+@register_layer("AbsVal")
+class AbsValLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.absval(inputs[0])]
+
+
+@register_layer("Power")
+class PowerLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.power(inputs[0], self.p.get("power", 1.0),
+                          self.p.get("scale", 1.0), self.p.get("shift", 0.0))]
+
+
+@register_layer("Exp")
+class ExpLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.exp(inputs[0], self.p.get("base", -1.0),
+                        self.p.get("scale", 1.0), self.p.get("shift", 0.0))]
+
+
+@register_layer("Log")
+class LogLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.log(inputs[0], self.p.get("base", -1.0),
+                        self.p.get("scale", 1.0), self.p.get("shift", 0.0))]
+
+
+@register_layer("Threshold")
+class ThresholdLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.threshold(inputs[0], self.p.get("threshold", 0.0))]
+
+
+@register_layer("Dropout")
+class DropoutLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.dropout(inputs[0], self.p.get("ratio", 0.5), rng=rng, train=train)]
+
+
+@register_layer("Softmax")
+class SoftmaxLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [act.softmax(inputs[0], self.p.get("axis", -1))]
+
+
+@register_layer("SoftmaxWithLoss")
+class SoftmaxWithLossLayer(Layer):
+    def __init__(self, spec, policy):
+        super().__init__(spec, policy)
+        if spec.loss_weight == 0.0:
+            object.__setattr__(spec, "loss_weight", 1.0)
+
+    def apply(self, params, inputs, *, train, rng):
+        logits, labels = inputs
+        return [loss_ops.softmax_cross_entropy(
+            logits, labels, ignore_label=self.p.get("ignore_label"))]
+
+
+@register_layer("SigmoidCrossEntropyLoss")
+class SigmoidCELossLayer(Layer):
+    def __init__(self, spec, policy):
+        super().__init__(spec, policy)
+        if spec.loss_weight == 0.0:
+            object.__setattr__(spec, "loss_weight", 1.0)
+
+    def apply(self, params, inputs, *, train, rng):
+        return [loss_ops.sigmoid_cross_entropy(inputs[0], inputs[1])]
+
+
+@register_layer("EuclideanLoss")
+class EuclideanLossLayer(Layer):
+    def __init__(self, spec, policy):
+        super().__init__(spec, policy)
+        if spec.loss_weight == 0.0:
+            object.__setattr__(spec, "loss_weight", 1.0)
+
+    def apply(self, params, inputs, *, train, rng):
+        return [loss_ops.euclidean_loss(inputs[0], inputs[1])]
+
+
+@register_layer("HingeLoss")
+class HingeLossLayer(Layer):
+    def __init__(self, spec, policy):
+        super().__init__(spec, policy)
+        if spec.loss_weight == 0.0:
+            object.__setattr__(spec, "loss_weight", 1.0)
+
+    def apply(self, params, inputs, *, train, rng):
+        return [loss_ops.hinge_loss(inputs[0], inputs[1],
+                                    norm=self.p.get("norm", "L1"))]
+
+
+@register_layer("Accuracy")
+class AccuracyLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [loss_ops.accuracy(inputs[0], inputs[1],
+                                  top_k=self.p.get("top_k", 1),
+                                  ignore_label=self.p.get("ignore_label"))]
+
+
+@register_layer("LRN")
+class LRNLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [norm_ops.lrn_across_channels(
+            inputs[0],
+            local_size=self.p.get("local_size", 5),
+            alpha=self.p.get("alpha", 1e-4),
+            beta=self.p.get("beta", 0.75),
+            k=self.p.get("k", 1.0),
+        )]
+
+
+@register_layer("BatchNorm")
+class BatchNormLayer(Layer):
+    """Inference-style BN with stored moving stats (batch_norm_layer.cpp).
+    Training-time moving-average updates are handled by the solver via
+    `Net.apply(..., train=True)` using batch stats."""
+
+    def init_params(self, rng, in_shapes):
+        c = in_shapes[0][-1]
+        return {
+            "mean": jnp.zeros((c,), jnp.float32),
+            "var": jnp.ones((c,), jnp.float32),
+        }
+
+    def apply(self, params, inputs, *, train, rng):
+        (x,) = inputs
+        eps = self.p.get("eps", 1e-5)
+        if train and self.p.get("use_global_stats") is not True:
+            out, _, _ = norm_ops.batch_norm_train(x, eps=eps)
+            return [out]
+        return [norm_ops.batch_norm_inference(x, params["mean"], params["var"], eps=eps)]
+
+
+@register_layer("Scale")
+class ScaleLayer(Layer):
+    def init_params(self, rng, in_shapes):
+        c = in_shapes[0][-1]
+        params = {"gamma": jnp.ones((c,), jnp.float32)}
+        if self.p.get("bias_term", True):
+            params["beta"] = jnp.zeros((c,), jnp.float32)
+        return params
+
+    def apply(self, params, inputs, *, train, rng):
+        return [norm_ops.scale_bias(inputs[0], params["gamma"], params.get("beta"))]
+
+
+@register_layer("MVN")
+class MVNLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [norm_ops.mvn(inputs[0],
+                             normalize_variance=self.p.get("normalize_variance", True))]
+
+
+@register_layer("Concat")
+class ConcatLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [struct_ops.concat(inputs, axis=self.p.get("axis", -1))]
+
+
+@register_layer("Eltwise")
+class EltwiseLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [struct_ops.eltwise(inputs, op=self.p.get("operation", "sum"),
+                                   coeffs=self.p.get("coeffs"))]
+
+
+@register_layer("Flatten")
+class FlattenLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [struct_ops.flatten(inputs[0], self.p.get("axis", 1))]
+
+
+@register_layer("Reshape")
+class ReshapeLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [struct_ops.reshape(inputs[0], self.p["shape"])]
+
+
+@register_layer("Slice")
+class SliceLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return list(struct_ops.slice_points(
+            inputs[0], self.p["slice_points"], axis=self.p.get("axis", -1)))
+
+
+@register_layer("Split")
+class SplitLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return list(struct_ops.split(inputs[0], len(self.spec.tops)))
+
+
+@register_layer("Crop")
+class CropLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        x, ref = inputs
+        return [struct_ops.crop(x, ref.shape,
+                                offsets=self.p.get("offsets", (0, 0)),
+                                axes=self.p.get("axes", (1, 2)))]
+
+
+@register_layer("Tile")
+class TileLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [struct_ops.tile(inputs[0], self.p["tiles"], self.p.get("axis", -1))]
+
+
+@register_layer("Reduction")
+class ReductionLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [struct_ops.reduction(inputs[0], op=self.p.get("operation", "sum"),
+                                     axis=self.p.get("axis"),
+                                     coeff=self.p.get("coeff", 1.0))]
+
+
+@register_layer("ArgMax")
+class ArgMaxLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [struct_ops.argmax(inputs[0], self.p.get("axis", -1))]
+
+
+@register_layer("Silence")
+class SilenceLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        return [jnp.zeros((), jnp.float32)]
+
+
+@register_layer("Embed")
+class EmbedLayer(Layer):
+    def init_params(self, rng, in_shapes):
+        return {"w": fill(rng, (self.p["input_dim"], self.p["num_output"]),
+                          self.p.get("weight_filler", {"type": "xavier"}),
+                          fan_in=self.p["input_dim"])}
+
+    def apply(self, params, inputs, *, train, rng):
+        return [jnp.take(params["w"], inputs[0].astype(jnp.int32), axis=0)]

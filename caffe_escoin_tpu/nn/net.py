@@ -1,0 +1,201 @@
+"""Graph runtime: LayerSpec / layer registry / Net.
+
+TPU-native re-design of Caffe's Net (`src/caffe/net.cpp`, ~1100 LoC) and layer
+factory (`src/caffe/layer_factory.cpp`):
+
+* ``LayerSpec`` is the NetParameter/LayerParameter analogue — a plain dataclass
+  graph description (name, type, bottoms, tops, per-type params, phase).
+* ``@register_layer`` is the `REGISTER_LAYER_CLASS` analogue.
+* ``Net`` builds the layer list, infers shapes via `jax.eval_shape` (replacing
+  Caffe's imperative Reshape propagation), and exposes a *pure functional*
+  ``apply(params, inputs)`` — so the whole forward (and grad of it) jits and
+  pjits. There is no mutable blob state: blobs are a dict threaded through the
+  topological layer order, which also subsumes Caffe's insert_splits
+  (`src/caffe/util/insert_splits.cpp`) since a blob can be read many times.
+* ``Net.weight_align(params)`` is the sparse-compile hook
+  (`Net::CopyTrainedLayersFrom` -> `layer->WeightAlign()`, `net.cpp:819`):
+  a host-side pass converting conv/FC weights into AlignedConvWeight pytrees
+  according to each layer's ExecutionPolicy.
+
+Per-layer timing categories mirror `Net::Get{Conv,Fc,Data,Other}Time`
+(`net.cpp:516-565`); the timing harness lives in utils/timing.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caffe_escoin_tpu.engine.context import ConvMode, ExecutionPolicy
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    name: str
+    type: str
+    bottoms: Tuple[str, ...] = ()
+    tops: Tuple[str, ...] = ()
+    params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    phase: Optional[str] = None  # "train" | "test" | None (both)
+    loss_weight: float = 0.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "bottoms", tuple(self.bottoms))
+        tops = tuple(self.tops) if self.tops else (self.name,)
+        object.__setattr__(self, "tops", tops)
+
+
+LAYER_REGISTRY: Dict[str, type] = {}
+
+
+def register_layer(type_name: str):
+    def deco(cls):
+        if type_name in LAYER_REGISTRY:
+            raise ValueError(f"duplicate layer type {type_name!r}")
+        LAYER_REGISTRY[type_name] = cls
+        cls.type_name = type_name
+        return cls
+
+    return deco
+
+
+class Layer:
+    """Base layer contract (reference `include/caffe/layer.hpp`):
+    init (SetUp) / apply (Forward; Backward is jax.grad) / align (WeightAlign).
+    """
+
+    category = "other"  # timing bucket: conv | fc | data | other
+    type_name = "?"
+
+    def __init__(self, spec: LayerSpec, policy: ExecutionPolicy):
+        self.spec = spec
+        self.policy = policy
+        self.p = dict(spec.params)
+
+    # -- parameters --------------------------------------------------------
+    def init_params(self, rng, in_shapes: List[Tuple[int, ...]]):
+        return {}
+
+    def align(self, params):
+        """Host-side sparse compile; default no-op (layer.hpp:98)."""
+        return params
+
+    # -- forward -----------------------------------------------------------
+    def apply(self, params, inputs: List[jax.Array], *, train: bool, rng):
+        raise NotImplementedError
+
+    def out_shapes(self, params, in_shapes) -> List[Tuple[int, ...]]:
+        outs = jax.eval_shape(
+            lambda p, xs: self.apply(p, xs, train=False, rng=None),
+            params,
+            [jax.ShapeDtypeStruct(s, jnp.float32) for s in in_shapes],
+        )
+        return [o.shape for o in outs]
+
+
+class Net:
+    """Functional graph executor over a LayerSpec list."""
+
+    def __init__(
+        self,
+        specs: Sequence[LayerSpec],
+        *,
+        policy: Optional[ExecutionPolicy] = None,
+        phase: str = "test",
+    ):
+        self.policy = policy or ExecutionPolicy()
+        self.phase = phase
+        self.specs = [s for s in specs if s.phase in (None, phase)]
+        self.layers: List[Layer] = []
+        for s in self.specs:
+            if s.type not in LAYER_REGISTRY:
+                raise KeyError(
+                    f"layer type {s.type!r} not registered "
+                    f"(known: {sorted(LAYER_REGISTRY)})"
+                )
+            layer_policy = self.policy
+            if "policy" in s.params:
+                layer_policy = s.params["policy"]
+            self.layers.append(LAYER_REGISTRY[s.type](s, layer_policy))
+
+    # ------------------------------------------------------------------
+    def init(self, rng, input_shapes: Dict[str, Tuple[int, ...]]):
+        """Returns params: dict layer_name -> pytree. Also caches blob shapes."""
+        params: Dict[str, Any] = {}
+        shapes: Dict[str, Tuple[int, ...]] = dict(input_shapes)
+        for layer in self.layers:
+            spec = layer.spec
+            in_shapes = [shapes[b] for b in spec.bottoms]
+            rng, sub = jax.random.split(rng)
+            p = layer.init_params(sub, in_shapes)
+            if p:
+                params[spec.name] = p
+            outs = layer.out_shapes(p, in_shapes)
+            for t, o in zip(spec.tops, outs):
+                shapes[t] = tuple(o)
+        self.blob_shapes = shapes
+        return params
+
+    # ------------------------------------------------------------------
+    def apply(
+        self,
+        params: Dict[str, Any],
+        inputs: Dict[str, jax.Array],
+        *,
+        train: bool = False,
+        rng=None,
+        return_blobs: bool = False,
+    ):
+        """Topological forward. Returns dict of final tops (blobs never read
+        by a later layer), or all blobs with return_blobs=True."""
+        blobs: Dict[str, jax.Array] = dict(inputs)
+        consumed = set()
+        for layer in self.layers:
+            spec = layer.spec
+            ins = [blobs[b] for b in spec.bottoms]
+            consumed.update(spec.bottoms)
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            else:
+                sub = None
+            outs = layer.apply(params.get(spec.name, {}), ins, train=train, rng=sub)
+            if not isinstance(outs, (list, tuple)):
+                outs = [outs]
+            for t, o in zip(spec.tops, outs):
+                blobs[t] = o
+        if return_blobs:
+            return blobs
+        all_tops = [t for l in self.layers for t in l.spec.tops]
+        finals = [t for t in all_tops if t not in consumed]
+        return {t: blobs[t] for t in dict.fromkeys(finals)}
+
+    # ------------------------------------------------------------------
+    def loss(self, params, inputs, *, train: bool = True, rng=None):
+        """Weighted sum of loss-layer tops (Caffe loss_weight semantics)."""
+        blobs = self.apply(params, inputs, train=train, rng=rng, return_blobs=True)
+        total = 0.0
+        for layer in self.layers:
+            w = layer.spec.loss_weight
+            if w:
+                total = total + w * blobs[layer.spec.tops[0]]
+        return total
+
+    # ------------------------------------------------------------------
+    def weight_align(self, params):
+        """Host-side sparse compile of all layers' params (net.cpp:819)."""
+        out = dict(params)
+        for layer in self.layers:
+            name = layer.spec.name
+            if name in out:
+                out[name] = layer.align(out[name])
+        return out
+
+    # ------------------------------------------------------------------
+    def num_params(self, params) -> int:
+        return sum(
+            int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
+        )

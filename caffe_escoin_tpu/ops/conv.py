@@ -1,0 +1,177 @@
+"""Convolution with runtime-mode dispatch.
+
+The TPU counterpart of `BaseConvolutionLayer`'s forward paths
+(`src/caffe/layers/base_conv_layer.cpp:532-848`) and the per-mode branch in
+`ConvolutionLayer::Forward` (`src/caffe/layers/conv_layer.cpp:24-63`,
+`conv_layer.cu:7-40`):
+
+* LOWERED_GEMM   -> `lax.conv_general_dilated` (XLA's MXU conv; the analogue
+                    of im2col+cuBLAS, but fused — XLA never materializes cols).
+* LOWERED_SPARSE -> im2col + SpMM on the sparse GEMM-view weight (BSC block
+                    kernel, or ELL gather kernel for unstructured).
+* SCONV          -> direct sparse convolution (Pallas; no materialized
+                    im2col).  Falls back to LOWERED_SPARSE where the Pallas
+                    kernel's constraints don't hold.
+* SCONV_PAR      -> batch-parallel direct sparse conv (batch folded into the
+                    Pallas grid).
+
+Profitability fallback mirrors the reference's density thresholds
+(`base_conv_layer.cpp:548,727,752`) but is policy-configurable: a layer whose
+weight is denser than the threshold silently executes LOWERED_GEMM.
+
+All paths are pure functions of (x, aligned_weight) and jit-compatible; mode
+selection is trace-time static.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from caffe_escoin_tpu.engine.context import ConvMode, ExecutionPolicy, SparseFormat
+from caffe_escoin_tpu.kernels import spmm as spmm_kernels
+from caffe_escoin_tpu.sparse.weight_align import AlignedConvWeight
+
+
+def _out_spatial(size, k, s, p, d):
+    return (size + 2 * p - d * (k - 1) - 1) // s + 1
+
+
+def im2col(x, kernel, *, stride, padding, dilation):
+    """Patch extraction, (kh, kw, c) column order. jit-friendly slicing; XLA
+    fuses the shifted slices (reference: `src/caffe/util/im2col.cu`)."""
+    n, h, w, c = x.shape
+    kh, kw = kernel
+    sh, sw = stride
+    ph, pw = padding
+    dh, dw = dilation
+    ho = _out_spatial(h, kh, sh, ph, dh)
+    wo = _out_spatial(w, kw, sw, pw, dw)
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    cols = []
+    for i in range(kh):
+        for j in range(kw):
+            cols.append(
+                xp[
+                    :,
+                    i * dh : i * dh + (ho - 1) * sh + 1 : sh,
+                    j * dw : j * dw + (wo - 1) * sw + 1 : sw,
+                    :,
+                ]
+            )
+    return jnp.concatenate(cols, axis=-1), (ho, wo)
+
+
+def _epilogue(out, bias, relu):
+    if bias is not None:
+        out = out + bias
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out
+
+
+def conv2d_dense(x, w_hwio, bias=None, *, stride=(1, 1), padding=(0, 0),
+                 dilation=(1, 1), groups=1, relu=False):
+    """Dense conv: the LOWERED_GEMM mode and the training path."""
+    out = lax.conv_general_dilated(
+        x,
+        w_hwio,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return _epilogue(out, bias, relu)
+
+
+def conv2d_lowered_sparse(x, aligned: AlignedConvWeight, *, stride, padding,
+                          dilation, relu, policy: ExecutionPolicy):
+    """im2col + SpMM over the sparse GEMM-view weight."""
+    kh, kw = aligned.kernel_shape
+    cols, (ho, wo) = im2col(x, (kh, kw), stride=stride, padding=padding,
+                            dilation=dilation)
+    n = x.shape[0]
+    k = kh * kw * aligned.cin
+    cols2d = cols.reshape(n * ho * wo, k)
+    if policy.sparse_format == SparseFormat.ELL and aligned.ell_t is not None:
+        # reference CSR orientation: rows = output channels
+        out_t = spmm_kernels.ell_spmm(aligned.ell_t, cols2d.T)
+        out2d = out_t.T
+    else:
+        out2d = spmm_kernels.bsc_spmm(cols2d, aligned.bsc)
+    out = out2d.reshape(n, ho, wo, aligned.cout)
+    return _epilogue(out, aligned.bias, relu)
+
+
+def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
+                 relu, policy: ExecutionPolicy, batch_parallel: bool):
+    """Direct sparse convolution (Pallas fast path).
+
+    Constraints of the Pallas kernel (mirroring the reference's tuned-kernel
+    preconditions, `math_functions.cu:613-668`): unit stride, no dilation.
+    Otherwise falls back to the lowered sparse path, as the reference falls
+    back to `sconv_dilation`/gemm.
+    """
+    from caffe_escoin_tpu.kernels import sconv_pallas
+
+    if (
+        stride == (1, 1)
+        and dilation == (1, 1)
+        and aligned.bsc is not None
+        and sconv_pallas.supported(x, aligned, policy)
+    ):
+        return sconv_pallas.sconv(
+            x,
+            aligned,
+            padding=padding,
+            relu=relu,
+            policy=policy,
+            batch_parallel=batch_parallel,
+        )
+    return conv2d_lowered_sparse(
+        x, aligned, stride=stride, padding=padding, dilation=dilation,
+        relu=relu, policy=policy,
+    )
+
+
+def conv2d(
+    x,
+    aligned: AlignedConvWeight,
+    *,
+    stride: Tuple[int, int] = (1, 1),
+    padding: Tuple[int, int] = (0, 0),
+    dilation: Tuple[int, int] = (1, 1),
+    relu: bool = False,
+    mode: Optional[ConvMode] = None,
+    policy: Optional[ExecutionPolicy] = None,
+):
+    """Mode-dispatched convolution over an aligned weight."""
+    policy = policy or ExecutionPolicy()
+    mode = policy.conv_mode if mode is None else mode
+    sparse_ready = aligned.bsc is not None or aligned.ell_t is not None
+
+    if mode == ConvMode.LOWERED_SPARSE:
+        profitable = aligned.sparsity >= policy.sparse_threshold
+    elif mode in (ConvMode.SCONV, ConvMode.SCONV_PAR):
+        profitable = aligned.sparsity >= policy.sconv_threshold
+    else:
+        profitable = False
+
+    if mode == ConvMode.LOWERED_GEMM or not sparse_ready or not profitable:
+        return conv2d_dense(
+            x, aligned.dense, aligned.bias, stride=stride, padding=padding,
+            dilation=dilation, groups=aligned.groups, relu=relu,
+        )
+    if mode == ConvMode.LOWERED_SPARSE:
+        return conv2d_lowered_sparse(
+            x, aligned, stride=stride, padding=padding, dilation=dilation,
+            relu=relu, policy=policy,
+        )
+    return conv2d_sconv(
+        x, aligned, stride=stride, padding=padding, dilation=dilation,
+        relu=relu, policy=policy,
+        batch_parallel=(mode == ConvMode.SCONV_PAR),
+    )

@@ -1,0 +1,73 @@
+"""Normalization ops: LRN, batch norm, scale/bias, MVN.
+
+Reference: `src/caffe/layers/{lrn,batch_norm,scale,bias,mvn}_layer.cpp`.
+Caffe splits inference batch-norm into BatchNorm (normalize by moving stats)
+followed by Scale (learned gamma/beta); we provide both the split pieces and a
+fused `batch_norm` for model-zoo convenience.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def lrn_across_channels(x, *, local_size=5, alpha=1e-4, beta=0.75, k=1.0):
+    """Local response normalization across channels (NHWC last axis).
+
+    y = x / (k + alpha/n * sum_{c in window} x_c^2)^beta — matches Caffe's
+    ACROSS_CHANNELS with alpha pre-divided by local_size
+    (`lrn_layer.cpp:104` uses alpha/size).
+    """
+    sq = x * x
+    c = x.shape[-1]
+    half = local_size // 2
+    # windowed sum over channel axis via reduce_window
+    window = lax.reduce_window(
+        sq, 0.0, lax.add,
+        window_dimensions=(1, 1, 1, local_size),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (0, 0), (0, 0), (half, local_size - 1 - half)),
+    )
+    scale = jnp.power(k + (alpha / local_size) * window, beta)
+    return x / scale
+
+
+def batch_norm_inference(x, mean, var, *, eps=1e-5):
+    """Caffe BatchNorm layer at TEST: normalize by stored moving stats."""
+    inv = lax.rsqrt(var + eps)
+    return (x - mean) * inv
+
+
+def batch_norm_train(x, *, axis=(0, 1, 2), eps=1e-5):
+    """Returns (normalized, batch_mean, batch_var) for the train path."""
+    mean = jnp.mean(x, axis=axis)
+    var = jnp.var(x, axis=axis)
+    return (x - mean) * lax.rsqrt(var + eps), mean, var
+
+
+def scale_bias(x, gamma, beta=None):
+    """Caffe Scale layer (per-channel gamma, optional bias)."""
+    out = x * gamma
+    if beta is not None:
+        out = out + beta
+    return out
+
+
+def batch_norm(x, mean, var, gamma=None, beta=None, *, eps=1e-5):
+    """Fused inference BN + scale (BatchNorm + Scale layer pair)."""
+    inv = lax.rsqrt(var + eps)
+    if gamma is not None:
+        inv = inv * gamma
+    out = x * inv + ((beta if beta is not None else 0.0) - mean * inv)
+    return out
+
+
+def mvn(x, *, axis=(1, 2, 3), normalize_variance=True, eps=1e-9):
+    """Mean-variance normalization over all non-batch axes (mvn_layer.cpp)."""
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    out = x - mean
+    if normalize_variance:
+        std = jnp.sqrt(jnp.mean(out * out, axis=axis, keepdims=True))
+        out = out / (std + eps)
+    return out

@@ -1,0 +1,61 @@
+"""Pooling (max / average / global), Caffe-compatible semantics.
+
+Reference: `src/caffe/layers/pooling_layer.cpp`. Two Caffe-isms preserved
+because the model zoo shapes depend on them:
+
+* **ceil-mode output sizing**: pooled = ceil((in + 2p - k) / s) + 1, with the
+  last window clipped so it starts inside the padded input. AlexNet's 3x3/s2
+  pools and GoogLeNet's tower pools rely on this.
+* **average pooling divides by the full window size** (padding included).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pooled_size(size, k, s, p, ceil_mode):
+    if ceil_mode:
+        out = int(np.ceil((size + 2 * p - k) / s)) + 1
+    else:
+        out = int(np.floor((size + 2 * p - k) / s)) + 1
+    if p > 0 and (out - 1) * s >= size + p:
+        out -= 1  # last window must start strictly inside (pooling_layer.cpp:90)
+    return out
+
+
+def pool2d(x, kernel, *, stride=None, padding=(0, 0), mode="max",
+           ceil_mode=True, global_pool=False):
+    """x: [N, H, W, C] -> [N, Ho, Wo, C]."""
+    n, h, w, c = x.shape
+    if global_pool:
+        kernel, stride, padding = (h, w), (1, 1), (0, 0)
+    kh, kw = kernel
+    stride = stride or kernel
+    sh, sw = stride
+    ph, pw = padding
+    ho = _pooled_size(h, kh, sh, ph, ceil_mode)
+    wo = _pooled_size(w, kw, sw, pw, ceil_mode)
+    # pad right/bottom enough to cover the (possibly ceil-extended) last window
+    need_h = (ho - 1) * sh + kh
+    need_w = (wo - 1) * sw + kw
+    pad_h2 = max(0, need_h - h - ph)
+    pad_w2 = max(0, need_w - w - pw)
+    if mode == "max":
+        xp = jnp.pad(
+            x, ((0, 0), (ph, pad_h2), (pw, pad_w2), (0, 0)),
+            constant_values=-jnp.inf,
+        )
+        out = lax.reduce_window(
+            xp, -jnp.inf, lax.max, (1, kh, kw, 1), (1, sh, sw, 1), "VALID"
+        )
+    elif mode == "avg":
+        xp = jnp.pad(x, ((0, 0), (ph, pad_h2), (pw, pad_w2), (0, 0)))
+        out = lax.reduce_window(
+            xp, 0.0, lax.add, (1, kh, kw, 1), (1, sh, sw, 1), "VALID"
+        ) / float(kh * kw)
+    else:
+        raise ValueError(f"unknown pool mode {mode!r}")
+    return out[:, :ho, :wo, :]

@@ -1,0 +1,108 @@
+"""Per-layer / per-category forward timing.
+
+Reproduces the reference's three instrumentation levels (SURVEY.md section 5):
+per-layer Forward timing (`layer.hpp:438-472`), per-category aggregation —
+conv / fc / data / other — (`Net::GetConvTime` et al., `net.cpp:516-565`), and
+the `caffe time`-style per-layer report (`tools/caffe.cpp:374-461`).
+
+On TPU a layer inside one jit program can't be timed individually, so the
+harness offers two modes:
+
+* ``time_net_layerwise`` — jits each layer separately and times it with
+  block_until_ready (device-accurate per-layer cost, modest launch overhead;
+  the analogue of the reference's per-layer cudaEvent timing).
+* ``time_net_fused`` — times the whole jitted forward (what production runs).
+
+Both report wall ms plus derived GFLOP/s and nnz/s for sparse conv layers.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from caffe_escoin_tpu.nn.net import Net
+from caffe_escoin_tpu.sparse.weight_align import AlignedConvWeight
+
+
+def _sync(tree):
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+    return tree
+
+
+def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Median wall ms of fn(*args) with device sync."""
+    for _ in range(warmup):
+        _sync(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
+def time_net_fused(net: Net, params, inputs, *, iters: int = 10) -> float:
+    fwd = jax.jit(lambda p, x: net.apply(p, x))
+    return time_fn(fwd, params, inputs, iters=iters)
+
+
+def time_net_layerwise(net: Net, params, inputs, *, iters: int = 10) -> Dict[str, Any]:
+    """Per-layer timing + category buckets. Returns
+    {"layers": [{name, type, category, ms, gflops, nnz}], "categories": {...},
+    "total_ms": float}."""
+    blobs = dict(inputs)
+    rows: List[Dict[str, Any]] = []
+    buckets = {"conv": 0.0, "fc": 0.0, "data": 0.0, "other": 0.0}
+    for layer in net.layers:
+        spec = layer.spec
+        ins = [blobs[b] for b in spec.bottoms]
+        p = params.get(spec.name, {})
+        fwd = jax.jit(
+            lambda p, ins, layer=layer: layer.apply(p, ins, train=False, rng=None)
+        )
+        ms = time_fn(fwd, p, ins, iters=iters)
+        outs = fwd(p, ins)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        for t, o in zip(spec.tops, outs):
+            blobs[t] = o
+        row = {"name": spec.name, "type": spec.type,
+               "category": layer.category, "ms": ms}
+        if isinstance(p, AlignedConvWeight) and ins:
+            n = ins[0].shape[0]
+            out_sp = int(np.prod(outs[0].shape[1:-1]))
+            nnz = p.stats.nnz if p.stats else int(np.asarray(p.dense != 0).sum())
+            row["nnz"] = nnz
+            row["gflops"] = 2.0 * nnz * out_sp * n / (ms * 1e-3) / 1e9
+            row["nnz_per_s"] = nnz * out_sp * n / (ms * 1e-3)
+        rows.append(row)
+        buckets[layer.category] += ms
+    return {
+        "layers": rows,
+        "categories": buckets,
+        "total_ms": sum(buckets.values()),
+    }
+
+
+def format_report(result: Dict[str, Any]) -> str:
+    """`caffe time`-style text report (tools/caffe.cpp:374-461)."""
+    lines = [f"{'layer':<16}{'type':<20}{'cat':<7}{'ms':>9}  extra"]
+    for r in result["layers"]:
+        extra = ""
+        if "gflops" in r:
+            extra = f"{r['gflops']:.1f} GFLOP/s  {r['nnz_per_s']/1e9:.2f} Gnnz/s"
+        lines.append(
+            f"{r['name']:<16}{r['type']:<20}{r['category']:<7}{r['ms']:>9.3f}  {extra}"
+        )
+    c = result["categories"]
+    lines.append(
+        f"[totals] conv={c['conv']:.3f}ms fc={c['fc']:.3f}ms data={c['data']:.3f}ms "
+        f"other={c['other']:.3f}ms total={result['total_ms']:.3f}ms"
+    )
+    return "\n".join(lines)
