@@ -65,7 +65,16 @@ class ExecutionPolicy:
     sconv_threshold: float = 0.5  # SCONV/SCONV_PAR profitability
     fuse_relu: bool = True  # fold layer's ReLU into the sparse kernel epilogue
     compute_dtype: object = None  # e.g. jnp.bfloat16; None = input dtype
+    use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backends)
     interpret: bool = False  # run pallas kernels in interpreter mode (tests)
+    spmm_tile_m: int = 512  # pallas SpMM M-tile
+
+    def pallas_enabled(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        import jax
+
+        return jax.default_backend() != "cpu" or self.interpret
 
     def replace(self, **kw) -> "ExecutionPolicy":
         return dataclasses.replace(self, **kw)

@@ -100,6 +100,13 @@ def conv2d_lowered_sparse(x, aligned: AlignedConvWeight, *, stride, padding,
         # reference CSR orientation: rows = output channels
         out_t = spmm_kernels.ell_spmm(aligned.ell_t, cols2d.T)
         out2d = out_t.T
+    elif policy.pallas_enabled():
+        from caffe_escoin_tpu.kernels.bsc_pallas import bsc_spmm_pallas
+
+        out2d = bsc_spmm_pallas(
+            cols2d, aligned.bsc, tile_m=policy.spmm_tile_m,
+            interpret=policy.interpret,
+        )
     else:
         out2d = spmm_kernels.bsc_spmm(cols2d, aligned.bsc)
     out = out2d.reshape(n, ho, wo, aligned.cout)

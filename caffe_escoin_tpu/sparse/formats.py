@@ -280,13 +280,28 @@ class BSC:
     * ``block_row`` [n_bcols, max_bw] int32 — K-block index per slot; padding
                     slots point at K-block 0 with zero payload.
     * ``bcol_nnz``  [n_bcols] int32 — live slots per block column.
+
+    Plus a *flat* view consumed by the Pallas scalar-prefetch kernels: all live
+    blocks concatenated column-major (sorted by block column), with the
+    invariant that EVERY block column contributes at least one slot (empty
+    columns get one zero block) so every output tile is visited and
+    initialized exactly once per revisit chain:
+
+    * ``flat_blocks`` [n_flat, bk, bn], ``flat_row``/``flat_col`` [n_flat].
     """
 
     blocks: Array
     block_row: Array
     bcol_nnz: Array
+    flat_blocks: Array
+    flat_row: Array
+    flat_col: Array
     shape: Tuple[int, int] = _static_field(default=(0, 0))
     block_shape: Tuple[int, int] = _static_field(default=(0, 0))
+
+    @property
+    def n_flat(self) -> int:
+        return int(self.flat_blocks.shape[0])
 
     @property
     def n_bcols(self) -> int:
@@ -344,10 +359,27 @@ def dense_to_bsc(w, block_shape: Tuple[int, int], pad_to: int = 1) -> BSC:
         within = np.concatenate([np.arange(n) for n in bcol_nnz])
         blocks[bc, within] = blocked[bc, br]
         block_row[bc, within] = br
+
+    # flat view, column-major, every column >= 1 slot (zero filler if empty)
+    f_blocks, f_row, f_col = [], [], []
+    for j in range(n_bcols):
+        rows_j = np.nonzero(live[j])[0]
+        if len(rows_j) == 0:
+            f_blocks.append(np.zeros((bk, bn), w.dtype))
+            f_row.append(0)
+            f_col.append(j)
+        else:
+            for r in rows_j:
+                f_blocks.append(blocked[j, r])
+                f_row.append(r)
+                f_col.append(j)
     return BSC(
         blocks=jnp.asarray(blocks),
         block_row=jnp.asarray(block_row),
         bcol_nnz=jnp.asarray(bcol_nnz),
+        flat_blocks=jnp.asarray(np.stack(f_blocks)),
+        flat_row=jnp.asarray(np.asarray(f_row, np.int32)),
+        flat_col=jnp.asarray(np.asarray(f_col, np.int32)),
         shape=(rows, cols),
         block_shape=(bk, bn),
     )
