@@ -1,0 +1,208 @@
+"""Solver driver: the training loop.
+
+Reference: `Solver::Solve/Step/TestAll/Snapshot/Restore`
+(`src/caffe/solver.cpp:180-472`). Re-designed functionally: the per-iteration
+work (forward+backward over iter_size micro-batches, regularize, clip, solver
+update) is ONE jitted function; the Python loop only feeds data and handles
+snapshots/tests/signals. On a device mesh the same step function is jitted
+with shardings (see parallel/) — data parallelism falls out of batch sharding
+with no NCCL-style callback machinery (`parallel.cpp` has no analogue here:
+XLA inserts the gradient psum).
+
+Signal handling mirrors `util/signal_handler.cpp` + `tools/caffe.cpp:236-243`:
+SIGINT -> stop (snapshot_after_train honored), SIGHUP -> snapshot.
+"""
+
+from __future__ import annotations
+
+import signal
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caffe_escoin_tpu.engine import solvers
+from caffe_escoin_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+from caffe_escoin_tpu.engine.lr_policies import learning_rate
+from caffe_escoin_tpu.nn.net import Net
+
+
+class Solver:
+    def __init__(
+        self,
+        net: Net,
+        cfg: solvers.SolverConfig,
+        *,
+        test_net: Optional[Net] = None,
+        snapshot_prefix: str = "snapshot",
+        snapshot_interval: int = 0,
+        test_interval: int = 0,
+        test_iters: int = 1,
+        display: int = 20,
+        average_loss: int = 1,
+        rng=None,
+        reg_overrides: Optional[Dict[str, str]] = None,
+    ):
+        self.net = net
+        self.test_net = test_net
+        self.cfg = cfg
+        self.snapshot_prefix = snapshot_prefix
+        self.snapshot_interval = snapshot_interval
+        self.test_interval = test_interval
+        self.test_iters = test_iters
+        self.display = display
+        self.average_loss = average_loss
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.iter = 0
+        self.params = None
+        self.state = None
+        self._stop = False
+        self._snapshot_requested = False
+        self._losses = []
+        self._step_fn = None
+        self.reg_overrides = reg_overrides
+
+    # ------------------------------------------------------------------
+    def init(self, input_shapes: Dict[str, tuple]):
+        self.rng, sub = jax.random.split(self.rng)
+        self.params = self.net.init(sub, input_shapes)
+        self.state = solvers.init_state(self.cfg, self.params)
+        return self.params
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        net, cfg = self.net, self.cfg
+
+        def step(params, state, batches, lr, it, rng):
+            """batches: pytree stacked over iter_size on axis 0."""
+
+            def loss_of(p, batch, r):
+                return net.loss(p, batch, train=True, rng=r)
+
+            def micro(i, acc):
+                grads_acc, loss_acc = acc
+                batch = jax.tree_util.tree_map(lambda x: x[i], batches)
+                r = jax.random.fold_in(rng, i)
+                loss, g = jax.value_and_grad(loss_of)(params, batch, r)
+                grads_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b, grads_acc, g
+                )
+                return grads_acc, loss_acc + loss
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads, loss = jax.lax.fori_loop(
+                0, cfg.iter_size, micro, (zero_g, 0.0)
+            )
+            # Normalize (sgd_solver.cpp:102-118)
+            if cfg.iter_size > 1:
+                grads = jax.tree_util.tree_map(
+                    lambda g: g / cfg.iter_size, grads
+                )
+            grads = solvers.regularize(cfg, params, grads, self.reg_overrides)
+            grads = solvers.clip_gradients(cfg, grads)
+            new_params, new_state = solvers.update(
+                cfg, params, grads, state, lr, it
+            )
+            return new_params, new_state, loss / cfg.iter_size
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def install_signal_handlers(self):
+        def on_sigint(sig, frame):
+            self._stop = True
+
+        def on_sighup(sig, frame):
+            self._snapshot_requested = True
+
+        signal.signal(signal.SIGINT, on_sigint)
+        if hasattr(signal, "SIGHUP"):
+            signal.signal(signal.SIGHUP, on_sighup)
+
+    # ------------------------------------------------------------------
+    def step(self, data_iter: Iterator[Dict], iters: int,
+             log: Callable[[str], None] = print):
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        start = self.iter
+        while self.iter < start + iters and not self._stop:
+            if (self.test_interval and self.test_net is not None
+                    and self.iter % self.test_interval == 0):
+                self.test_all(data_iter=None, log=log)
+            batch = next(data_iter)
+            # stack iter_size micro-batches (iter_size==1: add axis)
+            if self.cfg.iter_size == 1:
+                batches = jax.tree_util.tree_map(lambda x: x[None], batch)
+            else:
+                extra = [next(data_iter) for _ in range(self.cfg.iter_size - 1)]
+                batches = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), batch, *extra
+                )
+            lr = learning_rate(
+                self.iter, base_lr=self.cfg.base_lr, policy=self.cfg.lr_policy,
+                gamma=self.cfg.gamma, step_size=self.cfg.step_size,
+                stepvalues=self.cfg.stepvalues, power=self.cfg.power,
+                max_iter=self.cfg.max_iter,
+            )
+            self.rng, sub = jax.random.split(self.rng)
+            self.params, self.state, loss = self._step_fn(
+                self.params, self.state, batches, jnp.float32(lr),
+                jnp.int32(self.iter + 1), sub,
+            )
+            self._losses.append(float(loss))
+            if len(self._losses) > self.average_loss:
+                self._losses.pop(0)
+            if self.display and self.iter % self.display == 0:
+                smoothed = float(np.mean(self._losses))
+                log(f"Iteration {self.iter}, lr = {lr:.6g}, "
+                    f"loss = {smoothed:.6g}")
+            self.iter += 1
+            if (self.snapshot_interval and
+                    self.iter % self.snapshot_interval == 0):
+                self.snapshot()
+            if self._snapshot_requested:
+                self.snapshot()
+                self._snapshot_requested = False
+        return self.params
+
+    # ------------------------------------------------------------------
+    def solve(self, data_iter, iters: int, *, snapshot_after_train=True,
+              log=print):
+        self.step(data_iter, iters, log=log)
+        if snapshot_after_train:
+            self.snapshot()
+        return self.params
+
+    # ------------------------------------------------------------------
+    def test_all(self, data_iter, log=print):
+        if self.test_net is None or data_iter is None:
+            return {}
+        fwd = jax.jit(lambda p, b: self.test_net.apply(p, b))
+        metrics: Dict[str, list] = {}
+        for _ in range(self.test_iters):
+            out = fwd(self.params, next(data_iter))
+            for k, v in out.items():
+                if np.ndim(v) == 0:
+                    metrics.setdefault(k, []).append(float(v))
+        result = {k: float(np.mean(v)) for k, v in metrics.items()}
+        for k, v in result.items():
+            log(f"    Test net output: {k} = {v:.4g}")
+        return result
+
+    # ------------------------------------------------------------------
+    def snapshot(self):
+        path = f"{self.snapshot_prefix}_iter_{self.iter}"
+        save_checkpoint(path, self.params, solver_state=self.state,
+                        meta={"iter": self.iter,
+                              "solver_type": self.cfg.solver_type})
+        return path
+
+    def restore(self, path: str):
+        params, state, meta = load_checkpoint(path)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        if state is not None:
+            self.state = jax.tree_util.tree_map(jnp.asarray, state)
+        self.iter = int(meta.get("iter", 0))
+        return self.params

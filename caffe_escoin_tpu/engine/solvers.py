@@ -1,0 +1,150 @@
+"""SGD-family solvers with Caffe-exact update rules.
+
+Reference: `src/caffe/solvers/{sgd,nesterov,adagrad,rmsprop,adadelta,
+adam}_solver.cpp` (922 LoC of C++/CUDA update kernels). Here each solver is a
+pair of pure functions (init_state, update) over parameter pytrees — the
+whole update jits and pjits (on a mesh, gradients arrive already psum-med, so
+multi-chip data parallelism needs no NCCL analogue at this layer).
+
+Caffe formula notes (these differ from optax/torch conventions, and the
+gradient-based-solver tests check them analytically, mirroring
+`src/caffe/test/test_gradient_based_solver.cpp`):
+
+* SGD:       v = momentum*v + lr*g ;  w -= v          (sgd_solver.cpp:213-243)
+* Nesterov:  v' = momentum*v + lr*g ; w -= (1+momentum)*v' - momentum*v
+* AdaGrad:   h += g^2 ;  w -= lr * g / (sqrt(h) + eps)
+* RMSProp:   h = delta*h + (1-delta)*g^2 ; w -= lr * g / (sqrt(h) + eps)
+* AdaDelta:  h = m*h + (1-m)*g^2 ;
+             u = g * sqrt((h2 + eps) / (h + eps)) ;
+             h2 = m*h2 + (1-m)*u^2 ;  w -= lr * u
+* Adam:      m = b1*m + (1-b1)*g ; v = b2*v + (1-b2)*g^2 ;
+             w -= lr * sqrt(1-b2^t)/(1-b1^t) * m / (sqrt(v) + eps)
+
+Regularization (SGDSolver::Regularize, sgd_solver.cpp:144-206): L2 adds
+decay*w to the gradient, L1 adds decay*sign(w) — the fork's pruning pressure
+via `ParamSpec.regularization_type` maps to per-leaf regularization overrides.
+Gradient normalization by iter_size and L2-norm clipping mirror
+Normalize/ClipGradients (sgd_solver.cpp:102-142).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Pytree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    solver_type: str = "sgd"  # sgd|nesterov|adagrad|rmsprop|adadelta|adam
+    base_lr: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    regularization_type: str = "L2"  # or "L1"
+    delta: float = 1e-8  # eps for adaptive solvers
+    rms_decay: float = 0.99
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    clip_gradients: float = -1.0  # <=0 disables
+    iter_size: int = 1
+    # lr policy
+    lr_policy: str = "fixed"
+    gamma: float = 0.1
+    step_size: int = 100000
+    stepvalues: tuple = ()
+    power: float = 1.0
+    max_iter: int = 100000
+
+
+def regularize(cfg: SolverConfig, params: Pytree, grads: Pytree,
+               reg_overrides: Optional[Dict[str, str]] = None) -> Pytree:
+    """Add decay term to gradients. reg_overrides maps layer name -> "L1"/"L2"
+    (the `ParamSpec.regularization_type` analogue, caffe.proto:307-308)."""
+    if cfg.weight_decay == 0.0:
+        return grads
+
+    def leaf(path_name, w, g):
+        kind = (reg_overrides or {}).get(path_name, cfg.regularization_type)
+        if kind == "L1":
+            return g + cfg.weight_decay * jnp.sign(w)
+        return g + cfg.weight_decay * w
+
+    if reg_overrides:
+        out = {}
+        for name in grads:
+            out[name] = jax.tree_util.tree_map(
+                lambda w, g, n=name: leaf(n, w, g), params[name], grads[name]
+            )
+        return out
+    return jax.tree_util.tree_map(lambda w, g: leaf(None, w, g), params, grads)
+
+
+def clip_gradients(cfg: SolverConfig, grads: Pytree) -> Pytree:
+    if cfg.clip_gradients <= 0:
+        return grads
+    leaves = jax.tree_util.tree_leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(g * g) for g in leaves))
+    scale = jnp.where(norm > cfg.clip_gradients, cfg.clip_gradients / norm, 1.0)
+    return jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+
+def init_state(cfg: SolverConfig, params: Pytree) -> Pytree:
+    zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+    t = cfg.solver_type
+    if t in ("sgd", "nesterov", "adagrad", "rmsprop"):
+        return {"h": zeros()}
+    if t == "adadelta":
+        return {"h": zeros(), "h2": zeros()}
+    if t == "adam":
+        return {"m": zeros(), "v": zeros()}
+    raise ValueError(f"unknown solver {t!r}")
+
+
+def update(cfg: SolverConfig, params: Pytree, grads: Pytree, state: Pytree,
+           lr, it=None):
+    """One solver step. Returns (new_params, new_state). `lr` may be a traced
+    scalar; `it` (1-based iteration) is needed by adam."""
+    tmap = jax.tree_util.tree_map
+    t = cfg.solver_type
+    if t == "sgd":
+        v = tmap(lambda h, g: cfg.momentum * h + lr * g, state["h"], grads)
+        return tmap(lambda w, vi: w - vi, params, v), {"h": v}
+    if t == "nesterov":
+        v = tmap(lambda h, g: cfg.momentum * h + lr * g, state["h"], grads)
+        upd = tmap(lambda vn, vo: (1 + cfg.momentum) * vn - cfg.momentum * vo,
+                   v, state["h"])
+        return tmap(lambda w, u: w - u, params, upd), {"h": v}
+    if t == "adagrad":
+        h = tmap(lambda h, g: h + g * g, state["h"], grads)
+        new = tmap(lambda w, g, hi: w - lr * g / (jnp.sqrt(hi) + cfg.delta),
+                   params, grads, h)
+        return new, {"h": h}
+    if t == "rmsprop":
+        d = cfg.rms_decay
+        h = tmap(lambda h, g: d * h + (1 - d) * g * g, state["h"], grads)
+        new = tmap(lambda w, g, hi: w - lr * g / (jnp.sqrt(hi) + cfg.delta),
+                   params, grads, h)
+        return new, {"h": h}
+    if t == "adadelta":
+        mom = cfg.momentum
+        h = tmap(lambda h, g: mom * h + (1 - mom) * g * g, state["h"], grads)
+        u = tmap(
+            lambda g, hi, h2: g * jnp.sqrt((h2 + cfg.delta) / (hi + cfg.delta)),
+            grads, h, state["h2"],
+        )
+        h2 = tmap(lambda h2, ui: mom * h2 + (1 - mom) * ui * ui, state["h2"], u)
+        return tmap(lambda w, ui: w - lr * ui, params, u), {"h": h, "h2": h2}
+    if t == "adam":
+        b1, b2 = cfg.adam_beta1, cfg.adam_beta2
+        m = tmap(lambda m, g: b1 * m + (1 - b1) * g, state["m"], grads)
+        v = tmap(lambda v, g: b2 * v + (1 - b2) * g * g, state["v"], grads)
+        it = jnp.asarray(1 if it is None else it, jnp.float32)
+        corr = jnp.sqrt(1.0 - b2 ** it) / (1.0 - b1 ** it)
+        new = tmap(lambda w, mi, vi: w - lr * corr * mi / (jnp.sqrt(vi) + cfg.delta),
+                   params, m, v)
+        return new, {"m": m, "v": v}
+    raise ValueError(f"unknown solver {t!r}")

@@ -40,14 +40,15 @@ def ell_spmm(ell: ELL, bmat, *, preferred_element_type=jnp.float32):
     rows, width = values.shape
     n = bmat.shape[1]
 
-    def body(j, acc):
+    def term(j):
         rows_gathered = jnp.take(bmat, colidx[:, j], axis=0)  # (R, N)
-        return acc + values[:, j][:, None].astype(preferred_element_type) * (
+        return values[:, j][:, None].astype(preferred_element_type) * (
             rows_gathered.astype(preferred_element_type)
         )
 
-    init = jnp.zeros((rows, n), preferred_element_type)
-    return lax.fori_loop(0, width, body, init)
+    # seed with slot 0 (width >= 1 by construction) instead of zeros: keeps
+    # the carry's device-varying type under shard_map
+    return lax.fori_loop(1, width, lambda j, acc: acc + term(j), term(0))
 
 
 def bsr_spmm(bsr: BSR, bmat, *, preferred_element_type=jnp.float32):
@@ -67,15 +68,14 @@ def bsr_spmm(bsr: BSR, bmat, *, preferred_element_type=jnp.float32):
         bmat = jnp.pad(bmat, ((0, kp - k), (0, 0)))
     bblocks = bmat.reshape(bsr.n_bcols, bk, n)
 
-    def body(s, acc):
+    def term(s):
         w_s = bsr.blocks[:, s]  # (n_brows, bm, bk)
         b_s = jnp.take(bblocks, bsr.block_col[:, s], axis=0)  # (n_brows, bk, N)
-        return acc + jnp.einsum(
+        return jnp.einsum(
             "rik,rkn->rin", w_s, b_s, preferred_element_type=preferred_element_type
         )
 
-    init = jnp.zeros((n_brows, bm, n), preferred_element_type)
-    out = lax.fori_loop(0, max_bw, body, init)
+    out = lax.fori_loop(1, max_bw, lambda s, acc: acc + term(s), term(0))
     return out.reshape(n_brows * bm, n)[:rows]
 
 
@@ -96,15 +96,14 @@ def bsc_spmm(amat, bsc: BSC, *, preferred_element_type=jnp.float32):
         amat = jnp.pad(amat, ((0, 0), (0, kp - k)))
     ablocks = amat.reshape(m, bsc.n_brows, bk)
 
-    def body(s, acc):
+    def term(s):
         a_s = jnp.take(ablocks, bsc.block_row[:, s], axis=1)  # (M, n_bcols, bk)
         w_s = bsc.blocks[:, s]  # (n_bcols, bk, bn)
-        return acc + jnp.einsum(
+        return jnp.einsum(
             "mjk,jkn->mjn", a_s, w_s, preferred_element_type=preferred_element_type
         )
 
-    init = jnp.zeros((m, bsc.n_bcols, bn), preferred_element_type)
-    out = lax.fori_loop(0, bsc.max_bw, body, init)
+    out = lax.fori_loop(1, bsc.max_bw, lambda s, acc: acc + term(s), term(0))
     return out.reshape(m, bsc.n_bcols * bn)[:, : bsc.shape[1]]
 
 

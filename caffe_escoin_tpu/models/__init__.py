@@ -1,1 +1,10 @@
-from caffe_escoin_tpu.models import cifar, lenet  # noqa: F401
+from caffe_escoin_tpu.models import alexnet, cifar, googlenet, lenet, resnet, vgg  # noqa: F401
+
+ZOO = {
+    "lenet": (lenet.lenet5, lenet.INPUT_SHAPES),
+    "cifar10_quick": (cifar.cifar10_quick, cifar.INPUT_SHAPES),
+    "alexnet": (alexnet.alexnet, alexnet.INPUT_SHAPES),
+    "vgg16": (vgg.vgg16, vgg.INPUT_SHAPES),
+    "googlenet": (googlenet.googlenet, googlenet.INPUT_SHAPES),
+    "resnet50": (resnet.resnet50, resnet.INPUT_SHAPES),
+}

@@ -166,9 +166,11 @@ class InnerProductLayer(Layer):
                 and aligned.sparsity >= self.policy.sparse_threshold
                 and self.policy.conv_mode != ConvMode.LOWERED_GEMM
             ):
+                if aligned.cin_pad != aligned.cin:
+                    x2 = jnp.pad(x2, ((0, 0), (0, aligned.cin_pad - aligned.cin)))
                 out = linear_ops.linear_sparse(x2, aligned.bsc, aligned.bias)
             else:
-                w = aligned.dense.reshape(aligned.k, aligned.cout)
+                w = aligned.dense.reshape(-1, aligned.cout)
                 out = linear_ops.linear(x2, w, aligned.bias)
         else:
             out = linear_ops.linear(x2, params["w"], params.get("b"))

@@ -94,8 +94,14 @@ def conv2d_lowered_sparse(x, aligned: AlignedConvWeight, *, stride, padding,
     cols, (ho, wo) = im2col(x, (kh, kw), stride=stride, padding=padding,
                             dilation=dilation)
     n = x.shape[0]
-    k = kh * kw * aligned.cin
-    cols2d = cols.reshape(n * ho * wo, k)
+    cols2d = cols.reshape(n * ho * wo, kh * kw, aligned.cin)
+    if aligned.cin_pad != aligned.cin:
+        # channel padding keeps K-blocks offset-aligned (weight_align pads the
+        # GEMM-view weight the same way)
+        cols2d = jnp.pad(
+            cols2d, ((0, 0), (0, 0), (0, aligned.cin_pad - aligned.cin))
+        )
+    cols2d = cols2d.reshape(n * ho * wo, aligned.k)
     if policy.sparse_format == SparseFormat.ELL and aligned.ell_t is not None:
         # reference CSR orientation: rows = output channels
         out_t = spmm_kernels.ell_spmm(aligned.ell_t, cols2d.T)

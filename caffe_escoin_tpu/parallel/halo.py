@@ -1,0 +1,102 @@
+"""Spatial (feature-map) partitioning with halo exchange.
+
+The reference has NO multi-device model partitioning; its analogue of a halo
+is the explicitly materialized zero-padded input (`copy_input_data`,
+`src/caffe/util/math_functions.cu:729-766`) — padding IS a zero halo
+(SURVEY.md section 5 "long-context"). Here the feature map's H dimension is
+sharded over the mesh's ``model`` axis; each step exchanges (KH-1)//2
+boundary rows with neighbors via `lax.ppermute` inside `shard_map`.
+Edge shards receive ppermute's zero fill — which is exactly the global
+zero padding, so no special-casing is needed when halo == pad.
+
+XLA overlaps the ppermute with the conv compute where the schedule allows
+(the reference only overlapped gradient reduction, never forward comms).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def halo_exchange(x_local, halo: int, axis_name: str):
+    """Inside shard_map: x_local [N, Hl, W, C]. Returns [N, Hl+2*halo, W, C]
+    with neighbor rows (zeros at global edges)."""
+    n_dev = lax.axis_size(axis_name)
+    if halo == 0 or n_dev == 1:
+        return jnp.pad(x_local, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    down = [(i, i + 1) for i in range(n_dev - 1)]  # my bottom rows -> next's top
+    up = [(i + 1, i) for i in range(n_dev - 1)]  # my top rows -> prev's bottom
+    top_halo = lax.ppermute(x_local[:, -halo:], axis_name, down)
+    bot_halo = lax.ppermute(x_local[:, :halo], axis_name, up)
+    return jnp.concatenate([top_halo, x_local, bot_halo], axis=1)
+
+
+def spatial_conv2d(x, w, bias=None, *, mesh: Mesh, kernel: Tuple[int, int],
+                   padding: Tuple[int, int], axis_name: str = "model",
+                   relu: bool = False):
+    """Conv with H sharded over `axis_name`. Requires stride 1 and
+    padding == (k-1)//2 ("same") on H — the halo doubles as global padding.
+    x: [N, H, W, C] (H divisible by mesh axis size), w: HWIO."""
+    kh, kw = kernel
+    ph, pw = padding
+    assert ph == (kh - 1) // 2, "spatial partitioning needs 'same' H padding"
+
+    def fn(x_l, w_l, b_l):
+        ext = halo_exchange(x_l, ph, axis_name)
+        out = lax.conv_general_dilated(
+            ext, w_l, (1, 1),
+            [(0, 0), (pw, pw)],  # H already padded by halo
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if b_l is not None:
+            out = out + b_l
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        return out
+
+    if bias is None:
+        fn2 = lambda x_l, w_l: fn(x_l, w_l, None)
+        return jax.shard_map(
+            fn2, mesh=mesh,
+            in_specs=(P(None, axis_name, None, None), P()),
+            out_specs=P(None, axis_name, None, None),
+        )(x, w)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, axis_name, None, None), P(), P()),
+        out_specs=P(None, axis_name, None, None),
+    )(x, w, bias)
+
+
+def spatial_sconv2d(x, aligned, *, mesh: Mesh, padding, policy,
+                    axis_name: str = "model", relu: bool = False):
+    """Spatially-partitioned DIRECT sparse conv: halo exchange + the Pallas
+    sconv kernel per shard (zero internal padding — the halo provides it).
+
+    The kernel runs with padding=(0, pw) on the extended shard, so its
+    flattened-spatial formulation is untouched; only the H extent changes.
+    """
+    from caffe_escoin_tpu.kernels import sconv_pallas
+
+    kh, kw = aligned.kernel_shape
+    ph, pw = padding
+    assert ph == (kh - 1) // 2
+
+    def fn(x_l):
+        ext = halo_exchange(x_l, ph, axis_name)
+        return sconv_pallas.sconv(ext, aligned, padding=(0, pw), relu=relu,
+                                  policy=policy)
+
+    # check_vma off: pallas_call outputs carry no varying-axis metadata
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=P(None, axis_name, None, None),
+        out_specs=P(None, axis_name, None, None),
+        check_vma=False,
+    )(x)

@@ -43,32 +43,41 @@ from caffe_escoin_tpu.sparse.formats import (
 )
 
 
-def _largest_alignable_divisor(cin: int, target: int, align: int = 8) -> int:
-    """Largest d <= target with d | cin and d % align == 0 (or d == cin if cin
-    itself is small/unaligned — a K-block then still maps to one offset)."""
+def choose_cin_blocking(cin: int, target: int) -> Tuple[int, int]:
+    """Pick (bk, cin_pad): the K-block depth and the padded channel count.
+
+    Mosaic constraint: dynamic lane slices must be 128-aligned, so either the
+    whole (padded) channel dim is one block (static slice) or bk == 128 with
+    cin padded to a 128 multiple. Channel padding is the TPU's version of the
+    reference's explicit padded-input buffers (`base_conv_layer.cpp:248-259`).
+    """
     if cin <= target:
-        return cin
-    for d in range(target, 0, -1):
-        if cin % d == 0 and (d % align == 0 or d == cin):
-            return d
-    return cin
+        cin_pad = -(-cin // 8) * 8  # lane-sublane friendly
+        return cin_pad, cin_pad
+    bk = 128 if target >= 128 else target
+    cin_pad = -(-cin // bk) * bk
+    return bk, cin_pad
 
 
-def gemm_view(w_hwio: np.ndarray, groups: int = 1) -> np.ndarray:
-    """[KH,KW,Cin/g,Cout] -> block-diagonal [KH*KW*Cin, Cout] (row order
-    (kh, kw, cin), matching im2col_reference's column order)."""
+def gemm_view(w_hwio: np.ndarray, groups: int = 1, cin_pad: int | None = None
+              ) -> np.ndarray:
+    """[KH,KW,Cin/g,Cout] -> block-diagonal [KH*KW*cin_pad, Cout] (row order
+    (kh, kw, cin), matching im2col's column order; channels zero-padded to
+    cin_pad so K-blocks never straddle kernel offsets)."""
     w = np.asarray(w_hwio)
     kh, kw, cin_g, cout = w.shape
-    if groups == 1:
-        return w.reshape(kh * kw * cin_g, cout)
-    cout_g = cout // groups
     cin = cin_g * groups
-    full = np.zeros((kh, kw, cin, cout), w.dtype)
-    for g in range(groups):
-        full[:, :, g * cin_g : (g + 1) * cin_g, g * cout_g : (g + 1) * cout_g] = w[
-            ..., g * cout_g : (g + 1) * cout_g
-        ]
-    return full.reshape(kh * kw * cin, cout)
+    if cin_pad is None:
+        cin_pad = cin
+    full = np.zeros((kh, kw, cin_pad, cout), w.dtype)
+    if groups == 1:
+        full[:, :, :cin, :] = w
+    else:
+        cout_g = cout // groups
+        for g in range(groups):
+            full[:, :, g * cin_g : (g + 1) * cin_g,
+                 g * cout_g : (g + 1) * cout_g] = w[..., g * cout_g : (g + 1) * cout_g]
+    return full.reshape(kh * kw * cin_pad, cout)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +102,7 @@ class AlignedConvWeight:
     ell_t: Optional[ELL]  # Wmat^T row-sparse (unstructured path)
     kernel_shape: Tuple[int, int] = _static_field(default=(0, 0))
     cin: int = _static_field(default=0)  # full Cin (groups expanded)
+    cin_pad: int = _static_field(default=0)  # channel dim padded for blocking
     cout: int = _static_field(default=0)
     groups: int = _static_field(default=1)
     sparsity: float = _static_field(default=0.0)
@@ -101,7 +111,8 @@ class AlignedConvWeight:
 
     @property
     def k(self) -> int:
-        return self.kernel_shape[0] * self.kernel_shape[1] * self.cin
+        """GEMM K with channel padding (the sparse artifacts' row count)."""
+        return self.kernel_shape[0] * self.kernel_shape[1] * self.cin_pad
 
 
 def weight_align(
@@ -117,10 +128,12 @@ def weight_align(
     w = np.asarray(jax.device_get(w_hwio))
     kh, kw, cin_g, cout = w.shape
     cin = cin_g * groups
-    wmat = gemm_view(w, groups)  # (K, Cout)
+    bk_target, bn = policy.block_shape
+    bk, cin_pad = choose_cin_blocking(cin, bk_target)
+    wmat = gemm_view(w, groups, cin_pad)  # (K = KH*KW*cin_pad, Cout)
     nnz = int((wmat != 0).sum())
     # Sparsity accounting matches the reference: zeros of the *stored* weight,
-    # not counting group-structural zeros of the expanded matrix.
+    # not counting group-structural or padding zeros of the expanded matrix.
     stored = w.size
     sparsity = 1.0 - (int((w != 0).sum()) / max(1, stored))
 
@@ -128,12 +141,10 @@ def weight_align(
     ell_t = None
     stats = None
     if sparsity >= min(policy.sparse_threshold, policy.sconv_threshold):
-        bk_target, bn = policy.block_shape
-        bk = _largest_alignable_divisor(cin, bk_target)
         bsc = dense_to_bsc(wmat, (bk, bn))
         ell_t = dense_to_ell(wmat.T, lane_pad=8)
     if with_stats:
-        per_offset = (wmat != 0).reshape(kh * kw, cin, cout).sum(axis=(1, 2))
+        per_offset = (wmat != 0).reshape(kh * kw, cin_pad, cout).sum(axis=(1, 2))
         per_oc = (wmat != 0).sum(axis=0)
         stats = SparsityStats(
             sparsity=sparsity,
@@ -149,6 +160,7 @@ def weight_align(
         ell_t=ell_t,
         kernel_shape=(kh, kw),
         cin=cin,
+        cin_pad=cin_pad,
         cout=cout,
         groups=groups,
         sparsity=sparsity,

@@ -62,18 +62,32 @@ def prune_blocks(w, sparsity: float, block_shape: Tuple[int, int]):
 
 def prune_conv_weight(w_hwio, sparsity: float, block_shape=None):
     """Prune a conv weight [KH,KW,Cin,Cout]. If ``block_shape`` is given the
-    weight is pruned block-wise in its (Cin, Cout) GEMM view per kernel
-    offset (matching the direct-conv per-offset BSR execution); otherwise
-    element-wise over the whole tensor."""
+    weight is pruned block-wise in its per-offset (Cin, Cout) GEMM views
+    (matching the direct-conv per-offset BSC execution), with blocks ranked
+    GLOBALLY across all kernel offsets — per-offset ranking would zero whole
+    small layers through rounding. Otherwise element-wise magnitude."""
     w = np.asarray(w_hwio)
     if block_shape is None:
         return prune_magnitude(w, sparsity)
     kh, kw, cin, cout = w.shape
-    out = np.empty_like(w)
-    for i in range(kh):
-        for j in range(kw):
-            out[i, j] = prune_blocks(w[i, j], sparsity, block_shape)
-    return out
+    bm, bk = block_shape
+    R, C = -(-cin // bm) * bm, -(-cout // bk) * bk
+    nbr, nbc = R // bm, C // bk
+    # blocked view over all offsets: [kh*kw, nbr, nbc, bm, bk]
+    wp = np.zeros((kh * kw, R, C), w.dtype)
+    wp[:, :cin, :cout] = w.reshape(kh * kw, cin, cout)
+    blocked = wp.reshape(kh * kw, nbr, bm, nbc, bk).transpose(0, 1, 3, 2, 4)
+    norms = np.sqrt((blocked.astype(np.float64) ** 2).sum(axis=(3, 4)))
+    n_blocks = norms.size
+    k = int(round(n_blocks * sparsity))
+    if k > 0:
+        if k >= n_blocks:
+            blocked[:] = 0
+        else:
+            thresh = np.partition(norms.ravel(), k - 1)[k - 1]
+            blocked[norms <= thresh] = 0
+    out = blocked.transpose(0, 1, 3, 2, 4).reshape(kh * kw, R, C)[:, :cin, :cout]
+    return out.reshape(kh, kw, cin, cout)
 
 
 def sparsity_of(w) -> float:
