@@ -1,0 +1,166 @@
+"""Benchmark: ResNet-50 sparse-conv speedup vs dense XLA conv at 90% block
+sparsity on one TPU chip (BASELINE north-star metric; target >= 2x).
+
+Method: enumerate ResNet-50's conv layers (from the model spec itself, with
+shapes from Net shape inference), group into unique (H, W, Cin, Cout, K,
+stride) configs with occurrence counts, and for every sparse-eligible config
+(stride 1 — the SCONV kernel's domain; stride-2 layers run dense in both
+frameworks, exactly like the reference's fallback at base_conv_layer.cpp:752)
+measure:
+
+  * t_dense : XLA `lax.conv_general_dilated`
+  * t_sparse: the Pallas direct sparse conv kernel (90% block-sparse weight)
+
+with slope timing (utils/benchmark.py) that cancels this environment's fixed
+per-dispatch overhead and defeats XLA DCE by chaining same-shape outputs.
+
+Reported metric: FLOP-weighted total conv-time speedup over all measured
+layers (weighted by per-layer occurrence count x dense time), i.e. the
+conv-bucket speedup the reference's instrumentation would report
+(`tools/caffe.cpp:338-367`). vs_baseline normalizes against the 2.0x target.
+
+Prints ONE JSON line on stdout; human-readable detail goes to stderr.
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def conv_configs_resnet50(batch):
+    """Unique conv configs (h, w, cin, cout, k, stride, pad) -> count,
+    derived from the model spec + shape inference."""
+    import jax
+
+    from caffe_escoin_tpu.models import resnet
+    from caffe_escoin_tpu.nn import Net
+
+    net = Net(resnet.resnet50())
+    net.init(jax.random.PRNGKey(0), {"data": (batch, 224, 224, 3)})
+    configs = {}
+    for layer in net.layers:
+        if layer.spec.type != "Convolution":
+            continue
+        in_shape = net.blob_shapes[layer.spec.bottoms[0]]
+        p = layer.p
+        k = p.get("kernel", 3)
+        key = (in_shape[1], in_shape[2], in_shape[3], p["num_output"],
+               k, p.get("stride", 1), p.get("pad", 0))
+        configs[key] = configs.get(key, 0) + 1
+    return configs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="2 shapes, quick")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--sparsity", type=float, default=0.9)
+    ap.add_argument("--n1", type=int, default=30)
+    ap.add_argument("--n2", type=int, default=230)
+    ap.add_argument("--layers", type=int, default=8,
+                    help="measure top-N configs by FLOP share")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from caffe_escoin_tpu.engine.context import ExecutionPolicy
+    from caffe_escoin_tpu.kernels import sconv_pallas
+    from caffe_escoin_tpu.sparse.weight_align import weight_align
+    from caffe_escoin_tpu.utils.benchmark import slope_time
+    from caffe_escoin_tpu.utils.pruning import prune_conv_weight
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    configs = conv_configs_resnet50(args.batch)
+    # sparse-eligible: stride 1, cin >= 64 (conv1's 3-channel input is dense
+    # in both frameworks)
+    eligible = {k: c for k, c in configs.items()
+                if k[5] == 1 and k[2] >= 64}
+    skipped = {k: c for k, c in configs.items() if k not in eligible}
+    log(f"conv configs: {len(configs)} unique; eligible {len(eligible)}, "
+        f"dense-in-both {len(skipped)}")
+
+    def flops_of(key, count):
+        h, w, cin, cout, k, s_, p_ = key
+        return count * 2 * h * w * cin * cout * k * k / (s_ * s_)
+
+    items = sorted(eligible.items(), key=lambda kv: -flops_of(*kv))
+    cover = sum(flops_of(*kv) for kv in items[: args.layers]) / max(
+        1, sum(flops_of(*kv) for kv in items))
+    items = items[: 2 if args.smoke else args.layers]
+    log(f"measuring {len(items)} configs covering {cover:.0%} of eligible "
+        f"conv FLOPs")
+
+    rng = np.random.default_rng(0)
+    policy = ExecutionPolicy(block_shape=(128, 128), spmm_tile_m=512)
+    rows = []
+    total_dense = total_sparse = 0.0
+    total_nnz_work = 0.0
+    for (h, w, cin, cout, k, s, p), count in items:
+        x = jnp.asarray(
+            rng.standard_normal((args.batch, h, w, cin)).astype(np.float32)
+            * 0.1)
+        wt = rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.05
+        wp = prune_conv_weight(wt, args.sparsity, (128, 128))
+        aligned = weight_align(wp, None, policy=policy)
+        wj = jnp.asarray(wp)
+        pad = (p, p)
+
+        def dense(y):
+            return lax.conv_general_dilated(
+                y, wj, (s, s), [pad, pad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        if not sconv_pallas.supported(x, aligned, policy):
+            log(f"  {h}x{w}x{cin}->{cout} k{k}: sconv unsupported, skipping")
+            continue
+
+        def sparse(y):
+            return sconv_pallas.sconv(y, aligned, padding=pad, relu=False,
+                                      policy=policy)
+
+        # correctness guard
+        err = float(jnp.max(jnp.abs(sparse(x) - dense(x))))
+        same = (cin == cout and s == 1 and (h + 2 * p - k + 1) == h)
+        td = slope_time(dense, x, n1=args.n1, n2=args.n2, same_shape=same,
+                        repeats=args.repeats)
+        ts = slope_time(sparse, x, n1=args.n1, n2=args.n2, same_shape=same,
+                        repeats=args.repeats)
+        flops = 2 * args.batch * h * w * cin * cout * k * k / (s * s)
+        nnz = aligned.stats.nnz
+        out_pix = args.batch * (h // s) * (w // s)
+        rows.append((h, w, cin, cout, k, count, td, ts, err))
+        total_dense += td * count
+        total_sparse += ts * count
+        total_nnz_work += nnz * out_pix * count
+        log(f"  {h:3d}x{w:3d} {cin:4d}->{cout:4d} k{k} x{count}: "
+            f"dense {td*1e6:7.1f}us sparse {ts*1e6:7.1f}us "
+            f"speedup {td/ts:5.2f}x err {err:.1e}")
+
+    if not rows or total_sparse <= 0:
+        print(json.dumps({"metric": "resnet50_sparse_conv_speedup_90",
+                          "value": 0.0, "unit": "x", "vs_baseline": 0.0}))
+        return
+
+    speedup = total_dense / total_sparse
+    gnnz_s = total_nnz_work / total_sparse / 1e9
+    log(f"TOTAL: dense {total_dense*1e3:.2f}ms sparse {total_sparse*1e3:.2f}ms "
+        f"-> speedup {speedup:.2f}x  ({gnnz_s:.1f} Gnnz/s)")
+    print(json.dumps({
+        "metric": "resnet50_sparse_conv_speedup_90",
+        "value": round(speedup, 3),
+        "unit": "x_vs_dense_xla_conv",
+        "vs_baseline": round(speedup / 2.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

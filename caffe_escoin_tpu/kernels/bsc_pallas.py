@@ -40,16 +40,26 @@ from jax.experimental.pallas import tpu as pltpu
 from caffe_escoin_tpu.sparse.formats import BSC
 
 
-def _make_kernel(group_n, bk, bn, tile_m, out_dtype):
+def pallas_supported(bsc: BSC) -> bool:
+    """Mosaic lowers dynamic lane slices only at 128-aligned offsets; a
+    single K-block degenerates to a static slice and is always fine."""
+    bk, _ = bsc.block_shape
+    return bk % 128 == 0 or bsc.n_brows == 1
+
+
+def _make_kernel(group_n, bk, bn, tile_m, n_brows, out_dtype):
     def kernel(row_ref, nnz_ref, a_ref, w_ref, out_ref):
         g = pl.program_id(0)
         for j in range(group_n):  # static unroll over the group's block-columns
             jg = g * group_n + j
 
             def body(s, acc):
-                kblk = row_ref[jg, s]
-                off = pl.multiple_of(kblk * bk, bk)
-                ablk = a_ref[:, pl.ds(off, bk)]
+                if n_brows == 1:
+                    ablk = a_ref[:, 0:bk]  # static (see pallas_supported)
+                else:
+                    kblk = row_ref[jg, s]
+                    off = pl.multiple_of(kblk * bk, 128)
+                    ablk = a_ref[:, pl.ds(off, bk)]
                 return acc + jnp.dot(
                     ablk, w_ref[j, s], preferred_element_type=jnp.float32
                 )
@@ -99,7 +109,8 @@ def _run(amat, blocks, block_row, bcol_nnz, *, shape, block_shape,
         n_groups += 1
     group_n = n_bcols // n_groups
 
-    kernel = _make_kernel(group_n, bk, bn, tile_m, out_dtype)
+    n_brows = -(-k_logical // bk)
+    kernel = _make_kernel(group_n, bk, bn, tile_m, n_brows, out_dtype)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

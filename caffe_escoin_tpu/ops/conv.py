@@ -64,6 +64,13 @@ def im2col(x, kernel, *, stride, padding, dilation):
     return jnp.concatenate(cols, axis=-1), (ho, wo)
 
 
+def _bsc_pallas_ok(bsc, policy) -> bool:
+    from caffe_escoin_tpu.kernels.bsc_pallas import pallas_supported
+
+    # interpreter mode has no Mosaic alignment constraints
+    return policy.interpret or pallas_supported(bsc)
+
+
 def _epilogue(out, bias, relu):
     if bias is not None:
         out = out + bias
@@ -106,7 +113,7 @@ def conv2d_lowered_sparse(x, aligned: AlignedConvWeight, *, stride, padding,
         # reference CSR orientation: rows = output channels
         out_t = spmm_kernels.ell_spmm(aligned.ell_t, cols2d.T)
         out2d = out_t.T
-    elif policy.pallas_enabled():
+    elif policy.pallas_enabled() and _bsc_pallas_ok(aligned.bsc, policy):
         from caffe_escoin_tpu.kernels.bsc_pallas import bsc_spmm_pallas
 
         out2d = bsc_spmm_pallas(

@@ -1,0 +1,232 @@
+"""Command-line interface: the `caffe` binary equivalent.
+
+Reference: `tools/caffe.cpp` (493 LoC): brew commands train / test / time /
+device_query with gflags `-model -weights -solver -gpu -iterations
+-conv_mode` (`tools/caffe.cpp:29-60`). Here models come from the zoo registry
+(the prototxt role is played by the LayerSpec model builders) and weights from
+.npz checkpoints; `-conv_mode {0,1,2,3}` maps to the same four modes.
+
+Usage:
+  python -m caffe_escoin_tpu.tools.cli device_query
+  python -m caffe_escoin_tpu.tools.cli time  --model lenet --iterations 10
+  python -m caffe_escoin_tpu.tools.cli test  --model resnet50 --conv_mode 2 \
+      --weights snap.npz --sparsity 0.9 --iterations 4
+  python -m caffe_escoin_tpu.tools.cli train --model lenet --solver sgd \
+      --lr 0.01 --iterations 100 --snapshot-prefix /tmp/lenet
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def cmd_device_query(args):
+    import jax
+
+    print(f"backend: {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  device {d.id}: {d.device_kind} (process {d.process_index})")
+    return 0
+
+
+def _build_net(args, include_loss, phase):
+    from caffe_escoin_tpu.engine.context import ConvMode, ExecutionPolicy
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.nn import Net
+
+    if args.model not in ZOO:
+        sys.exit(f"unknown model {args.model!r}; available: {sorted(ZOO)}")
+    builder, input_shapes = ZOO[args.model]
+    policy = ExecutionPolicy(
+        conv_mode=ConvMode(args.conv_mode),
+        block_shape=tuple(args.block_shape),
+        sparse_threshold=args.sparse_threshold,
+        sconv_threshold=args.sparse_threshold,
+    )
+    specs = builder(num_classes=args.num_classes, include_loss=include_loss)
+    net = Net(specs, policy=policy, phase=phase)
+    shapes = dict(input_shapes)
+    data_shape = (args.batch,) + shapes["data"][1:]
+    shapes = {"data": data_shape}
+    if include_loss:
+        shapes["label"] = (args.batch,)
+    return net, shapes
+
+
+def _load_or_init(net, shapes, args):
+    import jax
+
+    params = net.init(jax.random.PRNGKey(args.seed), shapes)
+    if args.weights:
+        from caffe_escoin_tpu.engine.checkpoint import load_checkpoint
+        import jax.numpy as jnp
+
+        loaded, _, _ = load_checkpoint(args.weights.removesuffix(".npz"))
+        # CopyTrainedLayersFrom semantics: match by layer name
+        for name, p in loaded.items():
+            if name in params:
+                params[name] = jax.tree_util.tree_map(jnp.asarray, p)
+        print(f"loaded weights from {args.weights}")
+    return params
+
+
+def _maybe_prune(net, params, args):
+    if args.sparsity <= 0:
+        return params
+    import jax.numpy as jnp
+    import numpy as np
+
+    from caffe_escoin_tpu.utils.pruning import prune_conv_weight
+
+    out = dict(params)
+    bs = tuple(args.block_shape)
+    for layer in net.layers:
+        n = layer.spec.name
+        if n in out and layer.spec.type in ("Convolution", "ConvolutionReLU"):
+            w = np.asarray(out[n]["w"])
+            if w.shape[2] * w.shape[0] * w.shape[1] < 32:
+                continue  # skip tiny first layers (dense in reference too)
+            q = dict(out[n])
+            q["w"] = jnp.asarray(prune_conv_weight(w, args.sparsity, bs))
+            out[n] = q
+    print(f"pruned conv weights to {args.sparsity:.0%} block sparsity")
+    return out
+
+
+def cmd_test(args):
+    """Scoring run with per-category timing — mirrors `caffe test` including
+    the `[cxh] Total CONV time` style per-iteration report
+    (`tools/caffe.cpp:311-367`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from caffe_escoin_tpu.data.datasets import synthetic_source
+    from caffe_escoin_tpu.utils.timing import format_report, time_net_layerwise
+
+    net, shapes = _build_net(args, include_loss=False, phase="test")
+    params = _load_or_init(net, shapes, args)
+    params = _maybe_prune(net, params, args)
+    if args.conv_mode != 0 and args.sparsity > 0:
+        params = net.weight_align(params)
+        print("weight_align: sparse artifacts compiled")
+    src = synthetic_source(shapes["data"], num_classes=args.num_classes,
+                           seed=args.seed)
+    fwd = jax.jit(lambda p, b: net.apply(p, b))
+    total = 0.0
+    for i in range(args.iterations):
+        batch = {"data": jnp.asarray(src()["data"])}
+        t0 = time.perf_counter()
+        out = fwd(params, batch)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) * 1e3
+        if i > 0:  # skip compile iteration
+            total += dt
+        print(f"iteration {i}: forward {dt:.2f} ms")
+    n = max(1, args.iterations - 1)
+    print(f"average forward (excl. compile): {total / n:.2f} ms")
+    if args.layerwise:
+        batch = {"data": jnp.asarray(src()["data"])}
+        print(format_report(time_net_layerwise(net, params, batch, iters=3)))
+    return 0
+
+
+def cmd_time(args):
+    """`caffe time`: per-layer forward timing (`tools/caffe.cpp:374-461`)."""
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.data.datasets import synthetic_source
+    from caffe_escoin_tpu.utils.timing import format_report, time_net_layerwise
+
+    net, shapes = _build_net(args, include_loss=False, phase="test")
+    params = _load_or_init(net, shapes, args)
+    params = _maybe_prune(net, params, args)
+    if args.conv_mode != 0 and args.sparsity > 0:
+        params = net.weight_align(params)
+    src = synthetic_source(shapes["data"], seed=args.seed)
+    batch = {"data": jnp.asarray(src()["data"])}
+    print(format_report(time_net_layerwise(net, params, batch,
+                                           iters=args.iterations)))
+    return 0
+
+
+def cmd_train(args):
+    from caffe_escoin_tpu.data.datasets import synthetic_source
+    from caffe_escoin_tpu.data.pipeline import PrefetchLoader
+    from caffe_escoin_tpu.engine.solver import Solver
+    from caffe_escoin_tpu.engine.solvers import SolverConfig
+
+    net, shapes = _build_net(args, include_loss=True, phase="train")
+    cfg = SolverConfig(
+        solver_type=args.solver, base_lr=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay, lr_policy=args.lr_policy,
+        gamma=args.gamma, step_size=args.step_size, max_iter=args.iterations,
+    )
+    solver = Solver(net, cfg, snapshot_prefix=args.snapshot_prefix,
+                    snapshot_interval=args.snapshot_interval,
+                    display=args.display)
+    solver.init(shapes)
+    solver.install_signal_handlers()
+    if args.weights:
+        solver.restore(args.weights.removesuffix(".npz"))
+    src = synthetic_source(shapes["data"], num_classes=args.num_classes,
+                           seed=args.seed)
+    with PrefetchLoader(src, device_put=False) as loader:
+        solver.solve(loader, args.iterations)
+    print(f"done at iteration {solver.iter}")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="caffe-escoin-tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--model", default="lenet")
+    common.add_argument("--batch", type=int, default=8)
+    common.add_argument("--num-classes", type=int, default=10)
+    common.add_argument("--weights", default="")
+    common.add_argument("--conv_mode", type=int, default=0,
+                        help="0=LOWERED_GEMM 1=LOWERED_SPARSE 2=SCONV 3=SCONV_PAR")
+    common.add_argument("--sparsity", type=float, default=0.0)
+    common.add_argument("--block-shape", type=int, nargs=2, default=[128, 128])
+    common.add_argument("--sparse-threshold", type=float, default=0.5)
+    common.add_argument("--iterations", type=int, default=10)
+    common.add_argument("--seed", type=int, default=0)
+    common.add_argument("--platform", default="auto",
+                        choices=["auto", "cpu", "tpu"],
+                        help="force a jax platform (env vars are ignored when "
+                             "jax is pre-imported by sitecustomize)")
+
+    sub.add_parser("device_query", parents=[common]).set_defaults(
+        fn=cmd_device_query)
+    p_test = sub.add_parser("test", parents=[common])
+    p_test.add_argument("--layerwise", action="store_true")
+    p_test.set_defaults(fn=cmd_test)
+    p_time = sub.add_parser("time", parents=[common])
+    p_time.set_defaults(fn=cmd_time)
+    p_train = sub.add_parser("train", parents=[common])
+    p_train.add_argument("--solver", default="sgd")
+    p_train.add_argument("--lr", type=float, default=0.01)
+    p_train.add_argument("--momentum", type=float, default=0.9)
+    p_train.add_argument("--weight-decay", type=float, default=0.0)
+    p_train.add_argument("--lr-policy", default="fixed")
+    p_train.add_argument("--gamma", type=float, default=0.1)
+    p_train.add_argument("--step-size", type=int, default=100000)
+    p_train.add_argument("--snapshot-prefix", default="snapshot")
+    p_train.add_argument("--snapshot-interval", type=int, default=0)
+    p_train.add_argument("--display", type=int, default=20)
+    p_train.set_defaults(fn=cmd_train)
+
+    args = ap.parse_args(argv)
+    if getattr(args, "platform", "auto") != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
