@@ -97,6 +97,18 @@ class ConvolutionLayer(Layer):
         (x,) = inputs
         c = self._conf(x.shape[-1])
         fuse_relu = self.p.get("fuse_relu", False) and self.policy.fuse_relu
+        cd = self.policy.compute_dtype
+        in_dtype = x.dtype
+        if cd is not None:
+            # mixed precision: bf16 operands, f32 accumulation inside the
+            # kernels (preferred_element_type), output cast back
+            x = x.astype(cd)
+            params = jax.tree_util.tree_map(
+                lambda l: l.astype(cd)
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+                else l,
+                params,
+            )
         if isinstance(params, AlignedConvWeight):
             out = conv_ops.conv2d(
                 x, params, stride=c["stride"], padding=c["pad"],
@@ -108,6 +120,8 @@ class ConvolutionLayer(Layer):
                 padding=c["pad"], dilation=c["dilation"], groups=c["groups"],
                 relu=fuse_relu,
             )
+        if cd is not None:
+            out = out.astype(in_dtype)
         return [out]
 
 
@@ -463,6 +477,197 @@ class ArgMaxLayer(Layer):
 class SilenceLayer(Layer):
     def apply(self, params, inputs, *, train, rng):
         return [jnp.zeros((), jnp.float32)]
+
+
+@register_layer("Deconvolution")
+class DeconvolutionLayer(Layer):
+    """Transposed conv (deconv_layer.cpp)."""
+
+    category = "conv"
+
+    def init_params(self, rng, in_shapes):
+        p = self.p
+        kh, kw = _pair(p.get("kernel", 3))
+        cin = in_shapes[0][-1]
+        r1, r2 = jax.random.split(rng)
+        params = {"w": fill(r1, (kh, kw, cin, p["num_output"]),
+                            p.get("weight_filler", {"type": "xavier"}),
+                            fan_in=kh * kw * cin)}
+        if p.get("bias_term", True):
+            params["b"] = fill(r2, (p["num_output"],),
+                               p.get("bias_filler", {"type": "constant"}))
+        return params
+
+    def apply(self, params, inputs, *, train, rng):
+        from caffe_escoin_tpu.ops.deconv import deconv2d
+
+        p = self.p
+        return [deconv2d(inputs[0], params["w"], params.get("b"),
+                         stride=_pair(p.get("stride", 1)),
+                         padding=_pair(p.get("pad", 0)),
+                         dilation=_pair(p.get("dilation", 1)))]
+
+
+@register_layer("SPP")
+class SPPLayer(Layer):
+    def apply(self, params, inputs, *, train, rng):
+        from caffe_escoin_tpu.ops.pool import spp
+
+        return [spp(inputs[0], self.p.get("pyramid_height", 3),
+                    mode=self.p.get("mode", "max"))]
+
+
+@register_layer("Im2col")
+class Im2colLayer(Layer):
+    """Exposes the lowering as a layer (im2col_layer.cpp)."""
+
+    def apply(self, params, inputs, *, train, rng):
+        from caffe_escoin_tpu.ops.conv import im2col
+
+        p = self.p
+        cols, _ = im2col(inputs[0], _pair(p.get("kernel", 3)),
+                         stride=_pair(p.get("stride", 1)),
+                         padding=_pair(p.get("pad", 0)),
+                         dilation=_pair(p.get("dilation", 1)))
+        return [cols]
+
+
+@register_layer("RNN")
+class RNNLayer(Layer):
+    """Caffe RNN over time-major [T,N,D] + cont [T,N] (rnn_layer.cpp)."""
+
+    def init_params(self, rng, in_shapes):
+        d = in_shapes[0][-1]
+        h = self.p["num_output"]
+        r1, r2, r3 = jax.random.split(rng, 3)
+        wf = self.p.get("weight_filler", {"type": "xavier"})
+        return {"wx": fill(r1, (d, h), wf, fan_in=d),
+                "wh": fill(r2, (h, h), wf, fan_in=h),
+                "b": fill(r3, (h,), self.p.get("bias_filler",
+                                               {"type": "constant"}))}
+
+    def apply(self, params, inputs, *, train, rng):
+        from caffe_escoin_tpu.ops.recurrent import rnn_forward
+
+        x, cont = inputs
+        return [rnn_forward(x, cont, params["wx"], params["wh"], params["b"])]
+
+
+@register_layer("LSTM")
+class LSTMLayer(Layer):
+    """Caffe LSTM (lstm_layer.cpp), gate order i,f,o,g."""
+
+    def init_params(self, rng, in_shapes):
+        d = in_shapes[0][-1]
+        h = self.p["num_output"]
+        r1, r2, r3 = jax.random.split(rng, 3)
+        wf = self.p.get("weight_filler", {"type": "xavier"})
+        return {"wx": fill(r1, (d, 4 * h), wf, fan_in=d),
+                "wh": fill(r2, (h, 4 * h), wf, fan_in=h),
+                "b": fill(r3, (4 * h,), self.p.get("bias_filler",
+                                                   {"type": "constant"}))}
+
+    def apply(self, params, inputs, *, train, rng):
+        from caffe_escoin_tpu.ops.recurrent import lstm_forward
+
+        x, cont = inputs
+        hs, _ = lstm_forward(x, cont, params["wx"], params["wh"], params["b"])
+        return [hs]
+
+
+@register_layer("ContrastiveLoss")
+class ContrastiveLossLayer(Layer):
+    def __init__(self, spec, policy):
+        super().__init__(spec, policy)
+        if spec.loss_weight == 0.0:
+            object.__setattr__(spec, "loss_weight", 1.0)
+
+    def apply(self, params, inputs, *, train, rng):
+        return [loss_ops.contrastive_loss(
+            inputs[0], inputs[1], inputs[2],
+            margin=self.p.get("margin", 1.0),
+            legacy_version=self.p.get("legacy_version", False))]
+
+
+@register_layer("MultinomialLogisticLoss")
+class MultinomialLogisticLossLayer(Layer):
+    def __init__(self, spec, policy):
+        super().__init__(spec, policy)
+        if spec.loss_weight == 0.0:
+            object.__setattr__(spec, "loss_weight", 1.0)
+
+    def apply(self, params, inputs, *, train, rng):
+        return [loss_ops.multinomial_logistic_loss(inputs[0], inputs[1])]
+
+
+@register_layer("InfogainLoss")
+class InfogainLossLayer(Layer):
+    def __init__(self, spec, policy):
+        super().__init__(spec, policy)
+        if spec.loss_weight == 0.0:
+            object.__setattr__(spec, "loss_weight", 1.0)
+
+    def apply(self, params, inputs, *, train, rng):
+        import numpy as np
+
+        h = self.p.get("infogain")
+        if h is None:
+            c = inputs[0].shape[-1]
+            h = jnp.eye(c, dtype=inputs[0].dtype)
+        return [loss_ops.infogain_loss(inputs[0], inputs[1], jnp.asarray(h))]
+
+
+@register_layer("BatchReindex")
+class BatchReindexLayer(Layer):
+    """Gather batch items by an index blob (batch_reindex_layer.cpp)."""
+
+    def apply(self, params, inputs, *, train, rng):
+        x, idx = inputs
+        return [jnp.take(x, idx.astype(jnp.int32), axis=0)]
+
+
+@register_layer("Filter")
+class FilterLayer(Layer):
+    """Caffe Filter selects batch items where selector != 0. Data-dependent
+    output shapes don't exist under XLA; we return the selector-masked batch
+    (zeros elsewhere) plus the mask — callers reduce with the mask. This is
+    the jit-compatible contract (documented deviation from
+    filter_layer.cpp)."""
+
+    def apply(self, params, inputs, *, train, rng):
+        x, selector = inputs
+        mask = (selector != 0).astype(x.dtype)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        return [x * mask.reshape(shape), mask]
+
+
+@register_layer("Parameter")
+class ParameterLayer(Layer):
+    """Emits a learnable blob (parameter_layer.cpp)."""
+
+    def init_params(self, rng, in_shapes):
+        return {"w": fill(rng, tuple(self.p["shape"]),
+                          self.p.get("filler", {"type": "constant"}))}
+
+    def apply(self, params, inputs, *, train, rng):
+        return [params["w"]]
+
+    def out_shapes(self, params, in_shapes):
+        return [tuple(self.p["shape"])]
+
+
+@register_layer("DummyData")
+class DummyDataLayer(Layer):
+    """Constant/filled blobs (dummy_data_layer.cpp)."""
+
+    category = "data"
+
+    def apply(self, params, inputs, *, train, rng):
+        return [jnp.full(tuple(self.p["shape"]),
+                         self.p.get("value", 0.0), jnp.float32)]
+
+    def out_shapes(self, params, in_shapes):
+        return [tuple(self.p["shape"])]
 
 
 @register_layer("Embed")

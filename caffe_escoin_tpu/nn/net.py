@@ -42,6 +42,9 @@ class LayerSpec:
     params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     phase: Optional[str] = None  # "train" | "test" | None (both)
     loss_weight: float = 0.0
+    # Caffe param-sharing (`param { name: ... }`, net.cpp param ownership):
+    # use another layer's params (siamese nets, tied weights)
+    share_params: Optional[str] = None
 
     def __post_init__(self):
         object.__setattr__(self, "bottoms", tuple(self.bottoms))
@@ -131,9 +134,17 @@ class Net:
             spec = layer.spec
             in_shapes = [shapes[b] for b in spec.bottoms]
             rng, sub = jax.random.split(rng)
-            p = layer.init_params(sub, in_shapes)
-            if p:
-                params[spec.name] = p
+            if spec.share_params is not None:
+                if spec.share_params not in params:
+                    raise KeyError(
+                        f"{spec.name}: share_params target "
+                        f"{spec.share_params!r} not initialized yet"
+                    )
+                p = params[spec.share_params]
+            else:
+                p = layer.init_params(sub, in_shapes)
+                if p:
+                    params[spec.name] = p
             outs = layer.out_shapes(p, in_shapes)
             for t, o in zip(spec.tops, outs):
                 shapes[t] = tuple(o)
@@ -162,7 +173,8 @@ class Net:
                 rng, sub = jax.random.split(rng)
             else:
                 sub = None
-            outs = layer.apply(params.get(spec.name, {}), ins, train=train, rng=sub)
+            pkey = spec.share_params or spec.name
+            outs = layer.apply(params.get(pkey, {}), ins, train=train, rng=sub)
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
             for t, o in zip(spec.tops, outs):

@@ -137,6 +137,30 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
     """
     from caffe_escoin_tpu.kernels import sconv_pallas
 
+    # 1x1 convolutions ARE the sparse matmul: no spatial structure, so the
+    # whole batch folds into the SpMM's M dimension (N*Ho*Wo rows) — far
+    # better MXU utilization than the per-image slab grid. Stride-s 1x1 is
+    # subsample-then-matmul.
+    if (
+        aligned.kernel_shape == (1, 1)
+        and dilation == (1, 1)
+        and padding == (0, 0)
+        and aligned.bsc is not None
+        and policy.pallas_enabled()
+        and _bsc_pallas_ok(aligned.bsc, policy)
+    ):
+        xs = x[:, :: stride[0], :: stride[1], :]
+        n, ho, wo, c = xs.shape
+        x2d = xs.reshape(n * ho * wo, c)
+        if aligned.cin_pad != aligned.cin:
+            x2d = jnp.pad(x2d, ((0, 0), (0, aligned.cin_pad - aligned.cin)))
+        from caffe_escoin_tpu.kernels.bsc_pallas import bsc_spmm_pallas
+
+        out2d = bsc_spmm_pallas(x2d, aligned.bsc, tile_m=policy.spmm_tile_m,
+                                interpret=policy.interpret)
+        out = out2d.reshape(n, ho, wo, aligned.cout)
+        return _epilogue(out, aligned.bias, relu)
+
     if (
         stride == (1, 1)
         and dilation == (1, 1)

@@ -48,6 +48,39 @@ def hinge_loss(logits, labels, *, norm: str = "L1"):
     return jnp.sum(margins) / n
 
 
+def multinomial_logistic_loss(probs, labels, *, eps=1e-20):
+    """-log(p[label]) over already-normalized probabilities
+    (multinomial_logistic_loss_layer.cpp; use softmax_cross_entropy for
+    logits)."""
+    p = jnp.take_along_axis(probs, labels[:, None].astype(jnp.int32), axis=-1)
+    return -jnp.mean(jnp.log(jnp.maximum(p[:, 0], eps)))
+
+
+def infogain_loss(probs, labels, infogain, *, eps=1e-20):
+    """-sum_j H[label, j] * log(p_j), averaged over batch
+    (infogain_loss_layer.cpp). infogain H: [C, C]; H = I reduces to
+    multinomial logistic loss."""
+    h_rows = jnp.take(infogain, labels.astype(jnp.int32), axis=0)  # [N, C]
+    return -jnp.mean(
+        jnp.sum(h_rows * jnp.log(jnp.maximum(probs, eps)), axis=-1)
+    )
+
+
+def contrastive_loss(a, b, similar, *, margin=1.0, legacy_version=False):
+    """Hadsell-Chopra-LeCun contrastive loss (contrastive_loss_layer.cpp):
+    L = 1/2N * sum[ y*d^2 + (1-y)*max(margin - d, 0)^2 ]  (d = ||a-b||).
+    legacy_version uses max(margin - d^2, 0) (the layer's legacy flag)."""
+    diff = a - b
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    y = similar.astype(a.dtype)
+    if legacy_version:
+        dissim = jnp.maximum(margin - d2, 0.0)
+    else:
+        dissim = jnp.maximum(margin - d, 0.0) ** 2
+    return 0.5 * jnp.mean(y * d2 + (1.0 - y) * dissim)
+
+
 def accuracy(logits, labels, *, top_k: int = 1, ignore_label: Optional[int] = None):
     """Top-k accuracy (accuracy_layer.cpp)."""
     if top_k == 1:

@@ -59,3 +59,23 @@ def pool2d(x, kernel, *, stride=None, padding=(0, 0), mode="max",
     else:
         raise ValueError(f"unknown pool mode {mode!r}")
     return out[:, :ho, :wo, :]
+
+
+def spp(x, pyramid_height: int, *, mode="max"):
+    """Spatial pyramid pooling (spp_layer.cpp): levels 0..h-1 pool to
+    (2^l x 2^l) bins each, flattened+concatenated -> [N, C * sum 4^l]."""
+    import numpy as np
+
+    n, h, w, c = x.shape
+    outs = []
+    for level in range(pyramid_height):
+        bins = 2 ** level
+        kh = int(np.ceil(h / bins))
+        kw = int(np.ceil(w / bins))
+        ph = (kh * bins - h + 1) // 2
+        pw = (kw * bins - w + 1) // 2
+        pooled = pool2d(x, (kh, kw), stride=(kh, kw), padding=(ph, pw),
+                        mode=mode, ceil_mode=True)
+        pooled = pooled[:, :bins, :bins, :]
+        outs.append(pooled.reshape(n, -1))
+    return jnp.concatenate(outs, axis=-1)

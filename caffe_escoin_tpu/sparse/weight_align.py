@@ -128,8 +128,11 @@ def weight_align(
     w = np.asarray(jax.device_get(w_hwio))
     kh, kw, cin_g, cout = w.shape
     cin = cin_g * groups
-    bk_target, bn = policy.block_shape
+    bk_target, bn_target = policy.block_shape
     bk, cin_pad = choose_cin_blocking(cin, bk_target)
+    # adaptive output-block width: a 64-channel layer with bn=128 would write
+    # (and zero-pad) twice the output traffic
+    bn = min(bn_target, -(-cout // 8) * 8)
     wmat = gemm_view(w, groups, cin_pad)  # (K = KH*KW*cin_pad, Cout)
     nnz = int((wmat != 0).sum())
     # Sparsity accounting matches the reference: zeros of the *stored* weight,
