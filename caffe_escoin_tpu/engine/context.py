@@ -68,6 +68,18 @@ class ExecutionPolicy:
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backends)
     interpret: bool = False  # run pallas kernels in interpreter mode (tests)
     spmm_tile_m: int = 512  # pallas SpMM M-tile
+    # MXU multiply dtype inside the Pallas kernels (accumulation is always
+    # f32). "auto" = bf16 on real TPU, f32 under interpret — matching XLA's
+    # DEFAULT precision, which runs f32 convs/matmuls with bf16 multiplier
+    # passes on the MXU; a true-f32 sparse kernel would pay ~4-6x per FLOP
+    # against that dense baseline. Set "float32" to force full-precision
+    # multiplies (Precision.HIGHEST parity).
+    mxu_dtype: str = "auto"
+
+    def resolved_mxu_dtype(self):
+        if self.mxu_dtype == "auto":
+            return "float32" if self.interpret else "bfloat16"
+        return self.mxu_dtype
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:

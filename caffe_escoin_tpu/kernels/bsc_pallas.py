@@ -47,7 +47,7 @@ def pallas_supported(bsc: BSC) -> bool:
     return bk % 128 == 0 or bsc.n_brows == 1
 
 
-def _make_kernel(group_n, bk, bn, tile_m, n_brows, out_dtype):
+def _make_kernel(group_n, bk, bn, tile_m, n_brows, out_dtype, mxu_dtype):
     def kernel(row_ref, nnz_ref, a_ref, w_ref, out_ref):
         g = pl.program_id(0)
         for j in range(group_n):  # static unroll over the group's block-columns
@@ -61,7 +61,8 @@ def _make_kernel(group_n, bk, bn, tile_m, n_brows, out_dtype):
                     off = pl.multiple_of(kblk * bk, 128)
                     ablk = a_ref[:, pl.ds(off, bk)]
                 return acc + jnp.dot(
-                    ablk, w_ref[j, s], preferred_element_type=jnp.float32
+                    ablk.astype(mxu_dtype), w_ref[j, s],
+                    preferred_element_type=jnp.float32,
                 )
 
             acc = lax.fori_loop(
@@ -86,15 +87,25 @@ def _pad_to(x, mult, axis):
     jax.jit,
     static_argnames=(
         "shape", "block_shape", "tile_m", "interpret", "out_dtype_name",
-        "w_budget",
+        "w_budget", "mxu_dtype",
     ),
 )
 def _run(amat, blocks, block_row, bcol_nnz, *, shape, block_shape,
-         tile_m, interpret, out_dtype_name, w_budget):
+         tile_m, interpret, out_dtype_name, w_budget, mxu_dtype):
     bk, bn = block_shape
     k_logical, n_logical = shape
     m = amat.shape[0]
-    a = _pad_to(_pad_to(amat, tile_m, 0), bk, 1)
+    # Weights cast to the MXU multiply dtype up front (tiny, reused across
+    # all M-tiles); the A-tile is cast *in-kernel* — a pre-cast pass over A
+    # would cost a full extra HBM round-trip, which is exactly what kills a
+    # bandwidth-bound 1x1 layer. Accumulation stays f32.
+    mxu = jnp.dtype(mxu_dtype)
+    blocks = blocks.astype(mxu)
+    # M is NOT padded to tile_m: pallas handles a ragged final tile (the
+    # out-of-range rows compute garbage that is never written back), so the
+    # output needs no over-allocation + slice-copy. Only sublane alignment
+    # (8) and the K blocking are physical requirements.
+    a = _pad_to(_pad_to(amat, 8, 0), bk, 1)
     mp, kp = a.shape
     n_bcols, max_bw = blocks.shape[:2]
     out_dtype = jnp.dtype(out_dtype_name)
@@ -110,12 +121,12 @@ def _run(amat, blocks, block_row, bcol_nnz, *, shape, block_shape,
     group_n = n_bcols // n_groups
 
     n_brows = -(-k_logical // bk)
-    kernel = _make_kernel(group_n, bk, bn, tile_m, n_brows, out_dtype)
+    kernel = _make_kernel(group_n, bk, bn, tile_m, n_brows, out_dtype, mxu)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # block_row, bcol_nnz
-            grid=(n_groups, mp // tile_m),
+            grid=(n_groups, -(-mp // tile_m)),
             in_specs=[
                 pl.BlockSpec((tile_m, kp), lambda g, i, br, nz: (i, 0)),
                 pl.BlockSpec(
@@ -129,12 +140,17 @@ def _run(amat, blocks, block_row, bcol_nnz, *, shape, block_shape,
         ),
         out_shape=jax.ShapeDtypeStruct((mp, n_bcols * bn), out_dtype),
         interpret=interpret,
+        # let XLA fuse the (free) reshape/pad producers of A directly into
+        # the kernel's operand reads instead of materializing a staged copy
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            allow_input_fusion=[False, False, True, False]),
     )(block_row, bcol_nnz, a, blocks)
     return out[:m, :n_logical]
 
 
 def bsc_spmm_pallas(amat, bsc: BSC, *, tile_m: int = 512, out_dtype=None,
-                    interpret: bool = False, w_budget: int = 4 * 1024 * 1024):
+                    interpret: bool = False, w_budget: int = 4 * 1024 * 1024,
+                    mxu_dtype: str = "float32"):
     """amat: (M, K) dense; bsc: (K, N). Returns (M, N)."""
     if amat.shape[1] != bsc.shape[0]:
         raise ValueError(f"amat cols {amat.shape[1]} != sparse K {bsc.shape[0]}")
@@ -151,4 +167,5 @@ def bsc_spmm_pallas(amat, bsc: BSC, *, tile_m: int = 512, out_dtype=None,
         interpret=interpret,
         out_dtype_name=out_dtype.name,
         w_budget=w_budget,
+        mxu_dtype=mxu_dtype,
     )

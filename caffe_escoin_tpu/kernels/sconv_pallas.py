@@ -66,7 +66,8 @@ def supported(x, aligned: AlignedConvWeight, policy) -> bool:
     return slab <= SLAB_BUDGET
 
 
-def _make_kernel(group_n, bk, bn, tile_m, kw_, wp, n_cin_b, relu, out_dtype):
+def _make_kernel(group_n, bk, bn, tile_m, kw_, wp, n_cin_b, relu, out_dtype,
+                 mxu_dtype):
     def kernel(row_ref, nnz_ref, x_ref, w_ref, bias_ref, out_ref):
         g = pl.program_id(1)
         i = pl.program_id(2)
@@ -87,7 +88,8 @@ def _make_kernel(group_n, bk, bn, tile_m, kw_, wp, n_cin_b, relu, out_dtype):
                 # indexing is rejected)
                 a = x_ref[0, cb, pl.ds(start, tile_m), :]
                 return acc + jnp.dot(
-                    a, w_ref[j, s], preferred_element_type=jnp.float32
+                    a.astype(mxu_dtype), w_ref[j, s],
+                    preferred_element_type=jnp.float32,
                 )
 
             acc = lax.fori_loop(
@@ -105,24 +107,36 @@ def _make_kernel(group_n, bk, bn, tile_m, kw_, wp, n_cin_b, relu, out_dtype):
     jax.jit,
     static_argnames=(
         "kernel_shape", "padding", "block_shape", "cin_pad", "cout", "relu",
-        "tile_m", "interpret", "out_dtype_name",
+        "tile_m", "interpret", "out_dtype_name", "mxu_dtype",
     ),
 )
 def _run(x, blocks, block_row, bcol_nnz, bias, *, kernel_shape, padding,
-         block_shape, cin_pad, cout, relu, tile_m, interpret, out_dtype_name):
+         block_shape, cin_pad, cout, relu, tile_m, interpret, out_dtype_name,
+         mxu_dtype):
     n, h, w, c = x.shape
     kh, kw = kernel_shape
     ph, pw = padding
     bk, bn = block_shape
     out_dtype = jnp.dtype(out_dtype_name)
+    mxu = jnp.dtype(mxu_dtype)
 
     hp, wp = h + 2 * ph, w + 2 * pw
     ho, wo = hp - kh + 1, wp - kw + 1
     m_out = ho * wp
-    mp = -(-m_out // tile_m) * tile_m
-    # slab must cover the largest read: mp-1 + (kh-1)*wp + (kw-1)
-    slab_len = mp + (kh - 1) * wp + kw
+    # out rows padded only to sublane granularity; the grid's final tile is
+    # ragged (garbage rows computed but never written) — no tile_m
+    # over-allocation + slice-copy of the output
+    mp = -(-m_out // 8) * 8
+    n_tiles = -(-mp // tile_m)
+    # slab must cover the largest read: last tile start + tile_m + offsets
+    slab_len = n_tiles * tile_m + (kh - 1) * wp + kw
     n_cin_b = cin_pad // bk
+    # Weights cast to the MXU multiply dtype up front (half the W DMA, full
+    # bf16 MXU rate; accumulation stays f32). The slab stays f32: Mosaic
+    # requires dynamic sublane starts to be tile-aligned for packed bf16
+    # layouts, and the kernel's per-offset slices are unaligned by design —
+    # the A-tile is cast in-kernel instead.
+    blocks = blocks.astype(mxu)
     xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, cin_pad - c)))
     xf = xp.reshape(n, hp * wp, cin_pad)
     xf = jnp.pad(xf, ((0, 0), (0, max(0, slab_len - hp * wp)), (0, 0)))
@@ -139,12 +153,12 @@ def _run(x, blocks, block_row, bcol_nnz, bias, *, kernel_shape, padding,
     bias_p = jnp.pad(bias, (0, n_bcols * bn - bias.shape[0])).reshape(1, -1)
 
     kernel = _make_kernel(group_n, bk, bn, tile_m, kw, wp, n_cin_b, relu,
-                          out_dtype)
+                          out_dtype, mxu)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # block_row, bcol_nnz
-            grid=(n, n_groups, mp // tile_m),
+            grid=(n, n_groups, n_tiles),
             in_specs=[
                 pl.BlockSpec((1, n_cin_b, xf.shape[2], bk),
                              lambda b, g, i, br, nz: (b, 0, 0, 0)),
@@ -197,4 +211,5 @@ def sconv(x, aligned: AlignedConvWeight, *, padding, relu, policy,
         tile_m=tile_m,
         interpret=policy.interpret,
         out_dtype_name=jnp.dtype(x.dtype).name,
+        mxu_dtype=policy.resolved_mxu_dtype(),
     )

@@ -670,6 +670,70 @@ class DummyDataLayer(Layer):
         return [tuple(self.p["shape"])]
 
 
+@register_layer("Bias")
+class BiasLayer(Layer):
+    """Adds a bias along an axis span (bias_layer.cpp). The bias is either a
+    second bottom or a learnable param of shape = bottom.shape[axis:axis+num_axes].
+    Axis semantics follow the reference's NCHW convention mapped to NHWC:
+    axis counts over the canonical (N, C, H, W) ordering, so axis=1 (the
+    default, per-channel) addresses our trailing channel dim."""
+
+    def _canon_axes(self, ndim):
+        # canonical (N,C,H,W) position -> NHWC position, for 4-d blobs;
+        # lower-rank blobs are taken as-is (axis indexes real dims).
+        p = self.p
+        axis = p.get("axis", 1)
+        num_axes = p.get("num_axes", 1)
+        if ndim == 4:
+            order = [0, 3, 1, 2]  # canonical i lives at NHWC dim order[i]
+            return sorted(order[axis + k] for k in range(num_axes))
+        return list(range(axis, axis + num_axes))
+
+    def init_params(self, rng, in_shapes):
+        if len(in_shapes) > 1:
+            return {}
+        dims = self._canon_axes(len(in_shapes[0]))
+        shape = tuple(in_shapes[0][d] for d in dims)
+        return {"b": fill(rng, shape,
+                          self.p.get("filler", {"type": "constant"}))}
+
+    def apply(self, params, inputs, *, train, rng):
+        x = inputs[0]
+        b = inputs[1] if len(inputs) > 1 else params["b"]
+        dims = self._canon_axes(x.ndim)
+        shape = [1] * x.ndim
+        for d, s in zip(dims, b.shape):
+            shape[d] = s
+        return [x + b.reshape(shape)]
+
+    def out_shapes(self, params, in_shapes):
+        return [in_shapes[0]]
+
+
+@register_layer("LSTMUnit")
+class LSTMUnitLayer(Layer):
+    """Single-timestep LSTM cell (lstm_unit_layer.cpp): bottoms are
+    c_prev [N,H], gate pre-activations X [N,4H] (order i,f,o,g), and the
+    sequence-continuation flag cont [N]; tops are (c, h)."""
+
+    def apply(self, params, inputs, *, train, rng):
+        c_prev, gates, cont = inputs
+        mask = cont.reshape(-1, 1).astype(gates.dtype)
+        c_prev = c_prev * mask
+        i, f, o, g = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        o = jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c_prev + i * g
+        h = o * jnp.tanh(c)
+        return [c, h]
+
+    def out_shapes(self, params, in_shapes):
+        n, four_h = in_shapes[1]
+        return [(n, four_h // 4), (n, four_h // 4)]
+
+
 @register_layer("Embed")
 class EmbedLayer(Layer):
     def init_params(self, rng, in_shapes):

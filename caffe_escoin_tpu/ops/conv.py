@@ -119,6 +119,7 @@ def conv2d_lowered_sparse(x, aligned: AlignedConvWeight, *, stride, padding,
         out2d = bsc_spmm_pallas(
             cols2d, aligned.bsc, tile_m=policy.spmm_tile_m,
             interpret=policy.interpret,
+            mxu_dtype=policy.resolved_mxu_dtype(),
         )
     else:
         out2d = spmm_kernels.bsc_spmm(cols2d, aligned.bsc)
@@ -135,7 +136,20 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
     Otherwise falls back to the lowered sparse path, as the reference falls
     back to `sconv_dilation`/gemm.
     """
-    from caffe_escoin_tpu.kernels import sconv_pallas
+    from caffe_escoin_tpu.kernels import sconv_fused, sconv_pallas
+
+    # Fused-slab direct kernel (v3): native NHWC in/out, activation read
+    # once, zero XLA copies around the custom call. Preferred whenever its
+    # VMEM budget admits the shape (profiling showed the v2 paths spending
+    # 2-3x kernel time in XLA reshape/pad/staging copies).
+    if (
+        stride == (1, 1)
+        and dilation == (1, 1)
+        and aligned.bsc is not None
+        and sconv_fused.supported(x, aligned, padding, policy)
+    ):
+        return sconv_fused.sconv(x, aligned, padding=padding, relu=relu,
+                                 policy=policy)
 
     # 1x1 convolutions ARE the sparse matmul: no spatial structure, so the
     # whole batch folds into the SpMM's M dimension (N*Ho*Wo rows) — far
@@ -157,7 +171,8 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
         from caffe_escoin_tpu.kernels.bsc_pallas import bsc_spmm_pallas
 
         out2d = bsc_spmm_pallas(x2d, aligned.bsc, tile_m=policy.spmm_tile_m,
-                                interpret=policy.interpret)
+                                interpret=policy.interpret,
+                                mxu_dtype=policy.resolved_mxu_dtype())
         out = out2d.reshape(n, ho, wo, aligned.cout)
         return _epilogue(out, aligned.bias, relu)
 

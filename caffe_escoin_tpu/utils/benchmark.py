@@ -33,20 +33,20 @@ def _loop_fn(op: Callable, iters: int, same_shape: bool):
     else:
         @jax.jit
         def rep(x):
+            # The op's input is loop-invariant; to defeat hoisting we perturb
+            # x by the (tiny) carry scalar each iteration. The
+            # optimization_barrier forces the FULL output to materialize —
+            # without it XLA fuses the op into the scalar consumer and (e.g.)
+            # a conv's output never touches HBM, under-reporting the cost of
+            # any op measured this way (and unfairly so when comparing
+            # against pallas custom calls, which always materialize).
             def body(i, carry):
                 delta, x = carry
-                out = op(x)
-                return (jnp.sum(out).astype(jnp.float32) * 1e-30 + delta * 0.5,
-                        x)
-            # the op's input is loop-invariant here; to defeat hoisting we
-            # perturb x by the (tiny) carry scalar each iteration
-            def body2(i, carry):
-                delta, x = carry
                 y = (x + delta.astype(x.dtype)).astype(x.dtype)
-                out = op(y)
-                return (jnp.sum(out).astype(jnp.float32) * 1e-30 + delta * 0.5,
-                        x)
-            return lax.fori_loop(0, iters, body2,
+                out = lax.optimization_barrier(op(y))
+                probe = out.ravel()[0].astype(jnp.float32)
+                return (probe * 1e-30 + delta * 0.5, x)
+            return lax.fori_loop(0, iters, body,
                                  (jnp.float32(0.0), x))[0]
     return rep
 
@@ -83,3 +83,77 @@ def wall_time(f: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
         jax.block_until_ready(f(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
+
+
+def row_major_format(ndim: int):
+    """A jit out_shardings Format pinning the entry output to row-major
+    {N-1,...,0}. XLA's default entry-layout choice for conv-shaped outputs
+    can differ from a pallas kernel's (fixed) row-major result layout,
+    inserting a transpose copy that exists only at the jit boundary — in a
+    real net the consumer is the next kernel, which constrains row-major."""
+    import jax
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    return Format(Layout(major_to_minor=tuple(range(ndim))),
+                  SingleDeviceSharding(jax.devices()[0]))
+
+
+def device_time(f: Callable, *args, iters: int = 20, out_format=None) -> float:
+    """Median on-device seconds per execution of jit(f)(*args), measured from
+    the XLA device timeline via jax.profiler.
+
+    This is the ground-truth timer on this environment: host-side
+    wall-clock timing through the remote-dispatch relay carries tens of ms
+    of non-deterministic queueing noise, which `slope_time` differencing
+    only partially cancels. The profiler's "XLA Modules" track records the
+    actual device execution span of each module run.
+
+    Falls back to `slope_time` when no device timeline is present (CPU
+    interpret-mode runs).
+    """
+    import glob
+    import gzip
+    import json
+    import os
+    import statistics
+    import tempfile
+
+    fj = jax.jit(f) if out_format is None else jax.jit(
+        f, out_shardings=out_format)
+    jax.block_until_ready(fj(*args))  # compile + warm
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(iters):
+                jax.block_until_ready(fj(*args))
+        traces = glob.glob(
+            os.path.join(td, "**", "*.trace.json.gz"), recursive=True)
+        if not traces:
+            return slope_time(f, *args)
+        with gzip.open(traces[0], "rt") as fh:
+            data = json.load(fh)
+    evs = data.get("traceEvents", [])
+    device_pids = {
+        e["pid"] for e in evs
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "device:" in str(e.get("args", {}).get("name", ""))
+    }
+    module_tids = {
+        (e["pid"], e["tid"]) for e in evs
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and e["pid"] in device_pids
+        and e.get("args", {}).get("name") == "XLA Modules"
+    }
+    durs = [
+        e["dur"] for e in evs
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in module_tids
+    ]
+    if not durs:
+        return slope_time(f, *args)
+    # one module execution per iteration; if several modules ran per
+    # iteration (multi-dispatch fns), group by execution order
+    per_iter = max(1, len(durs) // iters)
+    totals = [
+        sum(durs[i : i + per_iter]) for i in range(0, len(durs), per_iter)
+    ]
+    return statistics.median(totals) * 1e-6
