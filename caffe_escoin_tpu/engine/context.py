@@ -75,6 +75,9 @@ class ExecutionPolicy:
     # against that dense baseline. Set "float32" to force full-precision
     # multiplies (Precision.HIGHEST parity).
     mxu_dtype: str = "auto"
+    # XLA-native static block-sparse unroll (kernels/xla_block_sparse.py) as
+    # the primary sparse-conv executor; False forces the Pallas kernels.
+    use_xla_sparse: bool = True
 
     def resolved_mxu_dtype(self):
         if self.mxu_dtype == "auto":

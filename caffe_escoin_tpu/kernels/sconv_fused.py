@@ -57,6 +57,17 @@ VMEM_BUDGET = 10 * 1024 * 1024  # slab + acc + weights + out tile
 W_BUDGET = 4 * 1024 * 1024
 
 
+def _pack(n, hp, wp):
+    """Images packed per grid step: enough padded rows to fill ~512-row MXU
+    tiles (the reference's FMAP_BLOCK batching, `math_functions.cu:524-587`,
+    generalized). Must divide the batch."""
+    cap = max(1, 512 // (hp * wp))
+    p = min(cap, n)
+    while n % p != 0:
+        p -= 1
+    return p
+
+
 def _sizes(x_shape, aligned, padding, tile_rows):
     n, h, w, c = x_shape
     kh, kw = aligned.kernel_shape
@@ -65,14 +76,25 @@ def _sizes(x_shape, aligned, padding, tile_rows):
     ho, wo = hp - kh + 1, wp - kw + 1
     bk, bn = aligned.bsc.block_shape
     n_cin_b = aligned.cin_pad // bk
-    q = max(1, min(tile_rows, ho))
-    n_tiles = -(-ho // q)
-    # slab covers all reads: tile rows up to n_tiles*q plus kernel offsets
-    slab_len = (n_tiles * q + kh - 1) * wp + kw
+    # Slab row stride: data rows start at multiples of wp_s (8-aligned so
+    # every build/epilogue vector store is sublane-aligned). Left padding is
+    # NOT materialized — a read at kwi < pw underflows into the previous
+    # slab row's zeroed right-garbage columns (>= pw of them by
+    # construction), which is exactly the zero padding. One leading zero row
+    # covers the first data row's underflow.
+    wp_s = -(-(w + pw) // 8) * 8
+    pimg = _pack(n, hp, wp_s)
+    img_len = hp * wp_s
+    total_rows = pimg * hp  # padded rows across the packed images
+    q = max(1, min(tile_rows, total_rows))
+    n_tiles = -(-total_rows // q)
+    # slab covers all reads: head row + tile rows + kernel offsets
+    slab_len = (1 + n_tiles * q + kh - 1) * wp_s + kw
     slab_len = -(-slab_len // 8) * 8
     return dict(n=n, h=h, w=w, c=c, kh=kh, kw=kw, ph=ph, pw=pw, hp=hp, wp=wp,
                 ho=ho, wo=wo, bk=bk, bn=bn, n_cin_b=n_cin_b, q=q,
-                n_tiles=n_tiles, slab_len=slab_len)
+                n_tiles=n_tiles, slab_len=slab_len, pimg=pimg,
+                img_len=img_len, wp_s=wp_s)
 
 
 def supported(x, aligned: AlignedConvWeight, padding, policy,
@@ -86,8 +108,9 @@ def supported(x, aligned: AlignedConvWeight, padding, policy,
     slab = z["n_cin_b"] * z["slab_len"] * z["bk"] * 4
     n_bcols, max_bw = aligned.bsc.blocks.shape[:2]
     wmem = n_bcols * max_bw * z["bk"] * z["bn"] * 2
-    out_tile = z["ho"] * z["wo"] * n_bcols * z["bn"] * x.dtype.itemsize
-    ximg = z["h"] * z["w"] * z["c"] * x.dtype.itemsize
+    out_tile = (z["pimg"] * z["ho"] * z["wo"] * n_bcols * z["bn"]
+                * x.dtype.itemsize)
+    ximg = z["pimg"] * z["h"] * z["w"] * z["c"] * x.dtype.itemsize
     acc = z["q"] * z["wp"] * z["bn"] * 4
     # double-buffered x/out + slab + resident weight slice (min group = 1
     # bcol keeps wmem/n under control; approximate with full then grouped)
@@ -97,9 +120,8 @@ def supported(x, aligned: AlignedConvWeight, padding, policy,
 
 def _pick_tile_rows(x_shape, aligned, padding):
     # whole-row tiles: target ~512 M-rows per tile for MXU efficiency
-    kh, kw = aligned.kernel_shape
-    wp = x_shape[2] + 2 * padding[1]
-    return max(1, 512 // wp)
+    wp_s = -(-(x_shape[2] + padding[1]) // 8) * 8
+    return max(1, 512 // wp_s)
 
 
 def _make_kernel(z, group_n, n_bcols, relu, out_dtype, mxu_dtype, n_groups):
@@ -108,7 +130,11 @@ def _make_kernel(z, group_n, n_bcols, relu, out_dtype, mxu_dtype, n_groups):
                                      z["slab_len"])
     h, w, c, ph, pw, ho, wo = (z["h"], z["w"], z["c"], z["ph"], z["pw"],
                                z["ho"], z["wo"])
-    tile_m = q * wp
+    pimg, img_len, hp, wp_s = z["pimg"], z["img_len"], z["hp"], z["wp_s"]
+    tile_m = q * wp_s
+    # bulk fast paths when slab rows coincide exactly with data rows
+    # (pad-free 8-multiple widths, i.e. 1x1 convs on aligned feature maps)
+    aligned_w = (ph == 0 and pw == 0 and w == wp_s)
 
     def kernel(row_ref, nnz_ref, x_hbm, w_ref, bias_ref, out_ref, slab_ref):
         b = pl.program_id(0)
@@ -119,22 +145,35 @@ def _make_kernel(z, group_n, n_bcols, relu, out_dtype, mxu_dtype, n_groups):
         def _zero():
             slab_ref[...] = jnp.zeros_like(slab_ref)
 
-        # --- build the padded slab for this image (only on first group) ---
+        # --- build the padded slab for the packed images (first group) ---
         @pl.when(g == 0 if n_groups > 1 else b >= 0)
         def _build():
             for cb in range(n_cin_b):
                 c0 = cb * bk
                 cw = min(bk, c - c0)  # channel tail (cin_pad > c)
-                for r in range(h):
-                    dst = (ph + r) * wp + pw
-                    slab_ref[cb, pl.ds(dst, w), 0:cw] = x_hbm[
-                        0, r, :, c0:c0 + cw].astype(jnp.float32)
+                for p in range(pimg):
+                    base = (1 + p * hp) * wp_s
+                    if aligned_w:
+                        # contiguous rows: copy in ~512-row chunks with a
+                        # layout-free (rr, w, bk) -> (rr*w, bk) regroup
+                        rr = max(1, 512 // w)
+                        for r0 in range(0, h, rr):
+                            rn = min(rr, h - r0)
+                            v = x_hbm[p, r0:r0 + rn, :, c0:c0 + cw]
+                            slab_ref[cb, pl.ds(base + r0 * w, rn * w),
+                                     0:cw] = v.reshape(rn * w, cw).astype(
+                                         jnp.float32)
+                    else:
+                        for r in range(h):
+                            dst = base + (ph + r) * wp_s  # 8-aligned
+                            slab_ref[cb, pl.ds(dst, w), 0:cw] = x_hbm[
+                                p, r, :, c0:c0 + cw].astype(jnp.float32)
 
-        # --- compute: per block-column, per whole-row tile ---
+        # --- compute: per block-column, per packed-row tile ---
         for j in range(group_n):
             jg = g * group_n + j if n_groups > 1 else j
             for t in range(n_tiles):
-                m0 = t * tile_m
+                m0 = (1 + t * q) * wp_s
 
                 def body(s, acc):
                     kblk = row_ref[jg, s]
@@ -142,7 +181,9 @@ def _make_kernel(z, group_n, n_bcols, relu, out_dtype, mxu_dtype, n_groups):
                     cb = kblk % n_cin_b
                     khi = off // kw
                     kwi = off % kw
-                    start = m0 + khi * wp + kwi
+                    # kwi < pw underflows into the previous row's zeroed
+                    # garbage columns == left padding
+                    start = m0 + khi * wp_s + kwi - pw
                     a = slab_ref[cb, pl.ds(start, tile_m), :]
                     return acc + jnp.dot(
                         a.astype(mxu_dtype), w_ref[j, s],
@@ -155,11 +196,26 @@ def _make_kernel(z, group_n, n_bcols, relu, out_dtype, mxu_dtype, n_groups):
                 if relu:
                     acc = jnp.maximum(acc, 0.0)
                 acc = acc.astype(out_dtype)
-                # exact NHWC row stores (no garbage columns leave VMEM)
-                rows = min(q, ho - t * q)
-                for r in range(rows):
-                    out_ref[0, t * q + r, :, j * bn:(j + 1) * bn] = acc[
-                        r * wp:r * wp + wo, :]
+                # exact NHWC stores (no garbage columns leave VMEM).
+                # Tile rows are global padded rows gr in [t*q, t*q+q) over
+                # the packed images: image p = gr // hp, local row rr =
+                # gr % hp, valid output row when rr < ho.
+                # Free regroup (wp_s % 8 == 0 keeps sublane groups intact),
+                # then ONE masked store per maximal run of valid output rows
+                # (instead of ho per-row stores — profiling showed per-row
+                # stores dominating kernels with large Ho).
+                v = acc.reshape(q, wp_s, bn)
+                dr = 0
+                while dr < q:
+                    gr = t * q + dr
+                    p, rr = gr // hp, gr % hp
+                    if p >= pimg or rr >= ho:
+                        dr += 1  # inter-image / bottom-pad garbage row
+                        continue
+                    rn = min(q - dr, ho - rr)
+                    out_ref[p, rr:rr + rn, :, j * bn:(j + 1) * bn] = v[
+                        dr:dr + rn, 0:wo, :]
+                    dr += rn
 
     return kernel
 
@@ -203,20 +259,21 @@ def _run(x, blocks, block_row, bcol_nnz, bias, *, kernel_shape, padding,
     bias_p = jnp.pad(bias, (0, n_bcols * bn - bias.shape[0])).reshape(1, -1)
     kernel = _make_kernel(z, group_n, n_bcols, relu, out_dtype, mxu, n_groups)
 
+    pimg = z["pimg"]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n, n_groups),
+            grid=(n // pimg, n_groups),
             in_specs=[
-                pl.BlockSpec((1,) + x.shape[1:],
+                pl.BlockSpec((pimg,) + x.shape[1:],
                              lambda b, g, br, nz: (b, 0, 0, 0)),
                 pl.BlockSpec((group_n, max_bw, bk, bn),
                              lambda b, g, br, nz: (g, 0, 0, 0)),
                 pl.BlockSpec((1, group_n * bn), lambda b, g, br, nz: (0, g)),
             ],
             out_specs=pl.BlockSpec(
-                (1, z["ho"], z["wo"], group_n * bn),
+                (pimg, z["ho"], z["wo"], group_n * bn),
                 lambda b, g, br, nz: (b, 0, 0, g)),
             scratch_shapes=[
                 pltpu.VMEM((z["n_cin_b"], z["slab_len"], bk), jnp.float32),

@@ -136,7 +136,19 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
     Otherwise falls back to the lowered sparse path, as the reference falls
     back to `sconv_dilation`/gemm.
     """
-    from caffe_escoin_tpu.kernels import sconv_fused, sconv_pallas
+    from caffe_escoin_tpu.kernels import (sconv_fused, sconv_pallas,
+                                          xla_block_sparse)
+
+    # Primary arm: the XLA-native static block unroll (XBSP). Beats the
+    # hand-written Pallas pipelines on every profiled ResNet-50 shape (XLA
+    # streams dot operands at ~1.65 TB/s vs ~730 GB/s pallas block DMA on
+    # this hardware) and handles stride/dilation/groups uniformly. Needs
+    # the sparsity pattern concrete at trace time (aligned weights closed
+    # over — the standard inference deployment).
+    if xla_block_sparse.supported(aligned, policy):
+        return xla_block_sparse.conv(
+            x, aligned, stride=stride, padding=padding, dilation=dilation,
+            relu=relu)
 
     # Fused-slab direct kernel (v3): native NHWC in/out, activation read
     # once, zero XLA copies around the custom call. Preferred whenever its

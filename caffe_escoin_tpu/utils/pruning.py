@@ -79,7 +79,10 @@ def prune_conv_weight(w_hwio, sparsity: float, block_shape=None):
     blocked = wp.reshape(kh * kw, nbr, bm, nbc, bk).transpose(0, 1, 3, 2, 4)
     norms = np.sqrt((blocked.astype(np.float64) ** 2).sum(axis=(3, 4)))
     n_blocks = norms.size
-    k = int(round(n_blocks * sparsity))
+    # never prune a layer to emptiness: keep at least one block (a
+    # fully-zero conv would make downstream benchmarks measure nothing)
+    k = min(int(round(n_blocks * sparsity)), n_blocks - 1) if sparsity < 1 \
+        else n_blocks
     if k > 0:
         if k >= n_blocks:
             blocked[:] = 0
