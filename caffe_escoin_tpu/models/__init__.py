@@ -1,4 +1,4 @@
-from caffe_escoin_tpu.models import alexnet, cifar, googlenet, lenet, resnet, vgg  # noqa: F401
+from caffe_escoin_tpu.models import alexnet, caffenet, cifar, googlenet, lenet, resnet, vgg  # noqa: F401
 
 ZOO = {
     "lenet": (lenet.lenet5, lenet.INPUT_SHAPES),
@@ -7,4 +7,8 @@ ZOO = {
     "vgg16": (vgg.vgg16, vgg.INPUT_SHAPES),
     "googlenet": (googlenet.googlenet, googlenet.INPUT_SHAPES),
     "resnet50": (resnet.resnet50, resnet.INPUT_SHAPES),
+    "caffenet": (caffenet.caffenet, caffenet.INPUT_SHAPES),
+    "rcnn_ilsvrc13": (caffenet.rcnn_ilsvrc13, caffenet.INPUT_SHAPES),
+    "finetune_flickr_style": (caffenet.finetune_flickr_style,
+                              caffenet.INPUT_SHAPES),
 }

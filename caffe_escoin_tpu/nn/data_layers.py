@@ -94,9 +94,9 @@ class DataLayer(_PrefetchingDataLayer):
 
     def out_shapes(self, params, in_shapes):
         n = self.p["batch_size"]
-        shape, _ = read_cerec_header(self.p["source"])
+        header = read_cerec_header(self.p["source"])
         cs = (self.p.get("transform_param") or {}).get("crop_size", 0)
-        h, w, c = shape
+        h, w, c = header["sample_shape"]
         if cs:
             h = w = cs
         return [(n, h, w, c), (n,)]

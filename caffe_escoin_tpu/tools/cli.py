@@ -18,6 +18,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -179,6 +180,95 @@ def cmd_train(args):
     return 0
 
 
+def cmd_convert_imageset(args):
+    """`tools/convert_imageset.cpp`: '<path> <label>' list file -> .cerec
+    record database (the LMDB analogue)."""
+    import numpy as np
+
+    from caffe_escoin_tpu.data.datasets import write_cerec
+    from caffe_escoin_tpu.nn.data_layers import _load_image
+
+    root = args.root_folder
+    with open(args.listfile) as f:
+        entries = [ln.split() for ln in f if ln.strip()]
+    if args.shuffle:
+        import random
+
+        random.Random(args.seed).shuffle(entries)
+    imgs, labels = [], []
+    for path, label in entries:
+        imgs.append(_load_image(
+            os.path.join(root, path), color=not args.gray,
+            new_height=args.resize_height, new_width=args.resize_width))
+        labels.append(float(label))
+    write_cerec(args.output, np.stack(imgs),
+                np.asarray(labels, np.float32))
+    print(f"wrote {len(imgs)} records to {args.output}")
+    return 0
+
+
+def cmd_compute_image_mean(args):
+    """`tools/compute_image_mean.cpp`: .cerec -> per-pixel mean .npy."""
+    import numpy as np
+
+    from caffe_escoin_tpu.data.datasets import cerec_source, read_cerec_header
+
+    header = read_cerec_header(args.source)
+    n = header["num"]
+    src = cerec_source(args.source, batch=min(64, n), loop=True)
+    total = np.zeros(header["sample_shape"], np.float64)
+    count = 0
+    while count < n:
+        batch = src()
+        d = np.asarray(batch["data"], np.float64)[: n - count]
+        total += d.sum(axis=0)
+        count += len(d)
+    mean = (total / max(1, count)).astype(np.float32)
+    np.save(args.output, mean)
+    print(f"mean over {count} images -> {args.output} "
+          f"(channel means: {mean.mean(axis=(0, 1))})")
+    return 0
+
+
+def cmd_extract_features(args):
+    """`tools/extract_features.cpp`: run the net forward and dump named
+    blobs for each batch to an .npz archive."""
+    import numpy as np
+
+    import jax
+
+    net, shapes = _build_net(args, include_loss=False, phase="test")
+    params = _load_or_init(net, shapes, args)
+    params = _maybe_prune(net, params, args)
+    aligned = net.weight_align(params)
+    blobs = args.blobs.split(",")
+    feats = {b: [] for b in blobs}
+    rng = np.random.default_rng(args.seed)
+    fwd = jax.jit(lambda p, x: net.apply(p, {"data": x}, return_blobs=True))
+    for _ in range(args.iterations):
+        x = rng.standard_normal(shapes["data"]).astype(np.float32)
+        outs = fwd(aligned, x)
+        for b in blobs:
+            feats[b].append(np.asarray(outs[b]))
+    np.savez(args.output, **{b: np.concatenate(v) for b, v in feats.items()})
+    print(f"extracted {blobs} x{args.iterations} batches -> {args.output}")
+    return 0
+
+
+def cmd_draw_net(args):
+    """`python/draw_net.py`: model -> Graphviz DOT file."""
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.tools.draw import draw_net_to_file
+
+    if args.model not in ZOO:
+        sys.exit(f"unknown model {args.model!r}; available: {sorted(ZOO)}")
+    builder, _ = ZOO[args.model]
+    draw_net_to_file(builder(), args.output, name=args.model,
+                     rankdir=args.rankdir)
+    print(f"wrote {args.output} (render: dot -Tpng {args.output})")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="caffe-escoin-tpu")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -219,6 +309,34 @@ def main(argv=None):
     p_train.add_argument("--snapshot-interval", type=int, default=0)
     p_train.add_argument("--display", type=int, default=20)
     p_train.set_defaults(fn=cmd_train)
+
+    p_conv = sub.add_parser("convert_imageset")
+    p_conv.add_argument("listfile")
+    p_conv.add_argument("output")
+    p_conv.add_argument("--root-folder", default="")
+    p_conv.add_argument("--resize-height", type=int, default=0)
+    p_conv.add_argument("--resize-width", type=int, default=0)
+    p_conv.add_argument("--gray", action="store_true")
+    p_conv.add_argument("--shuffle", action="store_true")
+    p_conv.add_argument("--seed", type=int, default=0)
+    p_conv.set_defaults(fn=cmd_convert_imageset)
+
+    p_mean = sub.add_parser("compute_image_mean")
+    p_mean.add_argument("source")
+    p_mean.add_argument("output")
+    p_mean.set_defaults(fn=cmd_compute_image_mean)
+
+    p_ext = sub.add_parser("extract_features", parents=[common])
+    p_ext.add_argument("--blobs", required=True,
+                       help="comma-separated blob names to dump")
+    p_ext.add_argument("--output", default="features.npz")
+    p_ext.set_defaults(fn=cmd_extract_features)
+
+    p_draw = sub.add_parser("draw_net")
+    p_draw.add_argument("--model", default="lenet")
+    p_draw.add_argument("--output", default="net.dot")
+    p_draw.add_argument("--rankdir", default="LR")
+    p_draw.set_defaults(fn=cmd_draw_net)
 
     args = ap.parse_args(argv)
     if getattr(args, "platform", "auto") != "auto":
