@@ -92,11 +92,17 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
             acc = d if acc is None else acc + d
         if acc is None:
             acc = jnp.zeros((n, ho, wo, bn), jnp.float32)
-        outs.append(acc)
+        # bias/relu/cast per block-column, in f32, BEFORE the concat: the
+        # concat then moves bf16 (half the bytes) and the adds fuse into the
+        # last dot of each column's chain
+        if aligned.bias is not None:
+            b = aligned.bias
+            bcol = b[j * bn:(j + 1) * bn]
+            if bcol.shape[0] < bn:
+                bcol = jnp.pad(bcol, (0, bn - bcol.shape[0]))
+            acc = acc + bcol
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        outs.append(acc.astype(x.dtype))
     out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
-    out = out[..., :aligned.cout]
-    if aligned.bias is not None:
-        out = out + aligned.bias
-    if relu:
-        out = jnp.maximum(out, 0.0)
-    return out.astype(x.dtype)
+    return out[..., :aligned.cout]
