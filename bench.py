@@ -33,25 +33,27 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def conv_configs_resnet50(batch):
+def conv_configs(model, batch):
     """Unique conv configs (h, w, cin, cout, k, stride, pad) -> count,
     derived from the model spec + shape inference."""
     import jax
 
-    from caffe_escoin_tpu.models import resnet
+    from caffe_escoin_tpu.models import ZOO
     from caffe_escoin_tpu.nn import Net
 
-    net = Net(resnet.resnet50())
-    net.init(jax.random.PRNGKey(0), {"data": (batch, 224, 224, 3)})
+    builder, input_shapes = ZOO[model]
+    net = Net(builder())
+    shape = (batch,) + tuple(input_shapes["data"][1:])
+    net.init(jax.random.PRNGKey(0), {"data": shape})
     configs = {}
     for layer in net.layers:
-        if layer.spec.type != "Convolution":
+        if layer.spec.type not in ("Convolution", "ConvolutionReLU"):
             continue
         in_shape = net.blob_shapes[layer.spec.bottoms[0]]
         p = layer.p
         k = p.get("kernel", 3)
         key = (in_shape[1], in_shape[2], in_shape[3], p["num_output"],
-               k, p.get("stride", 1), p.get("pad", 0))
+               k, p.get("stride", 1), p.get("pad", 0), p.get("group", 1))
         configs[key] = configs.get(key, 0) + 1
     return configs
 
@@ -59,6 +61,9 @@ def conv_configs_resnet50(batch):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="2 shapes, quick")
+    ap.add_argument("--model", default="resnet50",
+                    help="any ZOO model (resnet50 is the headline config; "
+                         "alexnet/googlenet/vgg16 for the BASELINE sweeps)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--sparsity", type=float, default=0.9)
     ap.add_argument("--n1", type=int, default=30)
@@ -80,7 +85,7 @@ def main():
     from caffe_escoin_tpu.utils.pruning import prune_conv_weight
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    configs = conv_configs_resnet50(args.batch)
+    configs = conv_configs(args.model, args.batch)
     # sparse-eligible: stride 1, cin >= 64 (conv1's 3-channel input is dense
     # in both frameworks)
     eligible = {k: c for k, c in configs.items()
@@ -90,8 +95,8 @@ def main():
         f"dense-in-both {len(skipped)}")
 
     def flops_of(key, count):
-        h, w, cin, cout, k, s_, p_ = key
-        return count * 2 * h * w * cin * cout * k * k / (s_ * s_)
+        h, w, cin, cout, k, s_, p_, g_ = key
+        return count * 2 * h * w * cin * cout * k * k / (s_ * s_) / g_
 
     items = sorted(eligible.items(), key=lambda kv: -flops_of(*kv))
     cover = sum(flops_of(*kv) for kv in items[: args.layers]) / max(
@@ -105,20 +110,22 @@ def main():
     rows = []
     total_dense = total_sparse = 0.0
     total_nnz_work = 0.0
-    for (h, w, cin, cout, k, s, p), count in items:
+    for (h, w, cin, cout, k, s, p, g), count in items:
         x = jnp.asarray(
             rng.standard_normal((args.batch, h, w, cin)).astype(np.float32)
             * 0.1)
-        wt = rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.05
+        wt = rng.standard_normal((k, k, cin // g, cout)).astype(
+            np.float32) * 0.05
         wp = prune_conv_weight(wt, args.sparsity, (128, 128))
-        aligned = weight_align(wp, None, policy=policy)
+        aligned = weight_align(wp, None, groups=g, policy=policy)
         wj = jnp.asarray(wp)
         pad = (p, p)
 
         def dense(y):
             return lax.conv_general_dilated(
                 y, wj, (s, s), [pad, pad],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=g)
 
         if not (sconv_fused.supported(x, aligned, pad, policy)
                 or sconv_pallas.supported(x, aligned, policy)):
@@ -162,8 +169,10 @@ def main():
             f"dense {td*1e6:7.1f}us sparse {ts*1e6:7.1f}us "
             f"speedup {td/ts:5.2f}x err {err:.1e}")
 
+    metric = (f"{args.model}_sparse_conv_speedup_"
+              f"{int(round(args.sparsity * 100))}")
     if not rows or total_sparse <= 0:
-        print(json.dumps({"metric": "resnet50_sparse_conv_speedup_90",
+        print(json.dumps({"metric": metric,
                           "value": 0.0, "unit": "x", "vs_baseline": 0.0}))
         return
 
@@ -172,10 +181,11 @@ def main():
     log(f"TOTAL: dense {total_dense*1e3:.2f}ms sparse {total_sparse*1e3:.2f}ms "
         f"-> speedup {speedup:.2f}x  ({gnnz_s:.1f} Gnnz/s)")
     print(json.dumps({
-        "metric": "resnet50_sparse_conv_speedup_90",
+        "metric": metric,
         "value": round(speedup, 3),
         "unit": "x_vs_dense_xla_conv",
         "vs_baseline": round(speedup / 2.0, 3),
+        "gnnz_per_s": round(gnnz_s, 1),
     }))
 
 

@@ -207,6 +207,18 @@ class Net:
         return out
 
     # ------------------------------------------------------------------
+    def inference_fn(self, aligned_params, *, align: bool = False):
+        """Jitted forward with the weights CLOSED OVER (the standard sparse
+        deployment shape). Closing over — rather than passing the param
+        pytree as a traced argument — keeps the sparsity pattern concrete at
+        trace time, which enables the XBSP executor
+        (kernels/xla_block_sparse.py), the fastest sparse-conv arm. Pass
+        ``align=True`` to run weight_align here."""
+        if align:
+            aligned_params = self.weight_align(aligned_params)
+        return jax.jit(lambda inputs: self.apply(aligned_params, inputs))
+
+    # ------------------------------------------------------------------
     def num_params(self, params) -> int:
         return sum(
             int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)

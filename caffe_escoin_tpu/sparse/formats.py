@@ -339,7 +339,12 @@ class BSC:
 
 
 def dense_to_bsc(w, block_shape: Tuple[int, int], pad_to: int = 1) -> BSC:
-    """Dense (K, N) -> BSC with fixed (bk, bn) blocks (zero-padded edges)."""
+    """Dense (K, N) -> BSC with fixed (bk, bn) blocks (zero-padded edges).
+
+    Large f32 weights route through the threaded native packer
+    (csrc/csrpack.cc via data/native.py) — the WeightAlign hot path the
+    reference runs in C++ (`base_conv_layer.cpp:46-273`); numpy fallback
+    otherwise."""
     w = np.asarray(w)
     rows, cols = w.shape
     bk, bn = block_shape
@@ -352,13 +357,26 @@ def dense_to_bsc(w, block_shape: Tuple[int, int], pad_to: int = 1) -> BSC:
     bcol_nnz = live.sum(axis=1).astype(np.int32)
     max_bw = max(1, int(bcol_nnz.max()) if n_bcols else 1)
     max_bw = -(-max_bw // pad_to) * pad_to
-    blocks = np.zeros((n_bcols, max_bw, bk, bn), w.dtype)
-    block_row = np.zeros((n_bcols, max_bw), np.int32)
-    bc, br = np.nonzero(live)
-    if len(bc):
-        within = np.concatenate([np.arange(n) for n in bcol_nnz])
-        blocks[bc, within] = blocked[bc, br]
-        block_row[bc, within] = br
+
+    native_done = False
+    if w.dtype == np.float32 and w.size >= 1 << 20 and pad_to == 1:
+        from caffe_escoin_tpu.data.native import native_bsc_pack
+
+        packed = native_bsc_pack(wp, (bk, bn))
+        if packed is not None:
+            blocks, block_row, nnz_native, max_bw_native = packed
+            # native scan agrees with numpy by construction; trust-but-verify
+            if (max_bw_native == max_bw
+                    and np.array_equal(nnz_native, bcol_nnz)):
+                native_done = True
+    if not native_done:
+        blocks = np.zeros((n_bcols, max_bw, bk, bn), w.dtype)
+        block_row = np.zeros((n_bcols, max_bw), np.int32)
+        bc, br = np.nonzero(live)
+        if len(bc):
+            within = np.concatenate([np.arange(n) for n in bcol_nnz])
+            blocks[bc, within] = blocked[bc, br]
+            block_row[bc, within] = br
 
     # flat view, column-major, every column >= 1 slot (zero filler if empty)
     f_blocks, f_row, f_col = [], [], []

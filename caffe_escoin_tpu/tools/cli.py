@@ -115,12 +115,13 @@ def cmd_test(args):
         print("weight_align: sparse artifacts compiled")
     src = synthetic_source(shapes["data"], num_classes=args.num_classes,
                            seed=args.seed)
-    fwd = jax.jit(lambda p, b: net.apply(p, b))
+    # weights closed over -> XBSP executor engages (see Net.inference_fn)
+    fwd = net.inference_fn(params)
     total = 0.0
     for i in range(args.iterations):
         batch = {"data": jnp.asarray(src()["data"])}
         t0 = time.perf_counter()
-        out = fwd(params, batch)
+        out = fwd(batch)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) * 1e3
         if i > 0:  # skip compile iteration

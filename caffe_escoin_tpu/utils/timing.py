@@ -36,7 +36,14 @@ def _sync(tree):
 
 
 def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median wall ms of fn(*args) with device sync."""
+    """Median ms of fn(*args). On a device backend this uses the profiler
+    device timeline (`benchmark.device_time`) — wall clock through a remote
+    dispatch relay is queueing noise; on CPU it falls back to wall clock
+    with sync (the reference's CPUTimer role, `benchmark.hpp:10-48`)."""
+    if jax.default_backend() != "cpu":
+        from caffe_escoin_tpu.utils.benchmark import device_time
+
+        return device_time(lambda *a: fn(*a), *args, iters=iters) * 1e3
     for _ in range(warmup):
         _sync(fn(*args))
     times = []

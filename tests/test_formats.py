@@ -98,3 +98,27 @@ def test_formats_are_pytrees(rng):
         m2 = jax.tree_util.tree_map(lambda a: a, m)
         assert type(m2) is type(m)
         np.testing.assert_array_equal(np.asarray(m2.to_dense()), np.asarray(m.to_dense()))
+
+
+def test_native_bsc_pack_agrees_with_numpy():
+    """csrc/csrpack.cc native packer vs the numpy reference packer."""
+    np_mod = __import__("numpy")
+    from caffe_escoin_tpu.data.native import load_library, native_bsc_pack
+
+    if load_library() is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np_mod.random.default_rng(0)
+    w = rng.standard_normal((512, 384)).astype(np_mod.float32)
+    w[np_mod.abs(w) < 1.2] = 0  # ~75% sparse, irregular pattern
+    from caffe_escoin_tpu.sparse.formats import dense_to_bsc
+
+    bsc = dense_to_bsc(w, (128, 128))  # numpy path (small weight)
+    packed = native_bsc_pack(w, (128, 128))
+    assert packed is not None
+    blocks, rows, nnz, max_bw = packed
+    assert np_mod.array_equal(nnz, np_mod.asarray(bsc.bcol_nnz))
+    assert max_bw == bsc.blocks.shape[1]
+    assert np_mod.array_equal(rows, np_mod.asarray(bsc.block_row))
+    assert np_mod.array_equal(blocks, np_mod.asarray(bsc.blocks))

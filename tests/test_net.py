@@ -111,3 +111,34 @@ def test_timing_harness_runs():
     # sparse conv rows carry nnz/s + GFLOP/s
     conv_rows = [r for r in result["layers"] if r["category"] == "conv"]
     assert all("nnz_per_s" in r for r in conv_rows)
+
+
+def test_inference_fn_closes_over_weights():
+    """Net.inference_fn keeps the sparsity pattern concrete -> XBSP arm."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from caffe_escoin_tpu.engine.context import ConvMode, ExecutionPolicy
+    from caffe_escoin_tpu.models import cifar
+    from caffe_escoin_tpu.nn import Net
+    from caffe_escoin_tpu.utils.pruning import prune_conv_weight
+
+    policy = ExecutionPolicy(conv_mode=ConvMode.SCONV, block_shape=(32, 32),
+                             sparse_threshold=0.4, sconv_threshold=0.4)
+    net = Net(cifar.cifar10_quick(), policy=policy)
+    params = net.init(jax.random.PRNGKey(0), {"data": (2, 32, 32, 3)})
+    pruned = {}
+    for name, p in params.items():
+        if isinstance(p, dict) and "w" in p and p["w"].ndim == 4 \
+                and p["w"].shape[2] >= 32:
+            q = dict(p)
+            q["w"] = jnp.asarray(prune_conv_weight(
+                np.asarray(p["w"]), 0.8, (32, 32)))
+            pruned[name] = q
+        else:
+            pruned[name] = p
+    fwd = net.inference_fn(pruned, align=True)
+    out = fwd({"data": jnp.zeros((2, 32, 32, 3))})["prob"]
+    assert out.shape == (2, 10)
+    np.testing.assert_allclose(np.asarray(out).sum(axis=1), 1.0, rtol=1e-4)
