@@ -42,13 +42,18 @@ def _unflatten(flat: Dict[str, np.ndarray]):
     return root
 
 
-def save_checkpoint(path: str, params, *, solver_state=None, meta=None):
+def save_checkpoint(path: str, params, *, solver_state=None, net_state=None,
+                    meta=None):
     """Writes path.npz (+ path.json). Only plain-array pytrees (train-side
     params; aligned sparse artifacts are rebuilt by weight_align on load,
-    exactly as the reference realigns in CopyTrainedLayersFrom)."""
+    exactly as the reference realigns in CopyTrainedLayersFrom). net_state
+    holds non-trainable buffers (BatchNorm moving stats — the reference
+    persists them as ordinary layer blobs in the .caffemodel)."""
     flat = _flatten({"params": params})
     if solver_state is not None:
         flat.update(_flatten({"state": solver_state}))
+    if net_state:
+        flat.update(_flatten({"net_state": net_state}))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path + ".npz", **flat)
     with open(path + ".json", "w") as f:
@@ -56,7 +61,14 @@ def save_checkpoint(path: str, params, *, solver_state=None, meta=None):
 
 
 def load_checkpoint(path: str) -> Tuple[Any, Any, Dict]:
-    """Returns (params, solver_state_or_None, meta)."""
+    """Returns (params, solver_state_or_None, meta). Buffer state, when
+    present, is under meta-side key via load_checkpoint_full."""
+    params, state, _net_state, meta = load_checkpoint_full(path)
+    return params, state, meta
+
+
+def load_checkpoint_full(path: str) -> Tuple[Any, Any, Any, Dict]:
+    """Returns (params, solver_state_or_None, net_state_or_None, meta)."""
     with np.load(path + ".npz") as z:
         flat = {k: z[k] for k in z.files}
     tree = _unflatten(flat)
@@ -64,4 +76,4 @@ def load_checkpoint(path: str) -> Tuple[Any, Any, Dict]:
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             meta = json.load(f)
-    return tree.get("params", {}), tree.get("state"), meta
+    return tree.get("params", {}), tree.get("state"), tree.get("net_state"), meta

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from caffe_escoin_tpu.engine import solvers
-from caffe_escoin_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+from caffe_escoin_tpu.engine.checkpoint import (load_checkpoint_full,
+                                                save_checkpoint)
 from caffe_escoin_tpu.engine.lr_policies import learning_rate
 from caffe_escoin_tpu.nn.net import Net
 
@@ -36,6 +37,7 @@ class Solver:
         cfg: solvers.SolverConfig,
         *,
         test_net: Optional[Net] = None,
+        test_data_iter: Optional[Iterator[Dict]] = None,
         snapshot_prefix: str = "snapshot",
         snapshot_interval: int = 0,
         test_interval: int = 0,
@@ -47,6 +49,7 @@ class Solver:
     ):
         self.net = net
         self.test_net = test_net
+        self.test_data_iter = test_data_iter
         self.cfg = cfg
         self.snapshot_prefix = snapshot_prefix
         self.snapshot_interval = snapshot_interval
@@ -58,6 +61,10 @@ class Solver:
         self.iter = 0
         self.params = None
         self.state = None
+        # non-trainable buffers (BatchNorm moving stats): threaded through
+        # the step fn, NEVER given to the solver update — the reference pins
+        # these blobs with lr_mult 0
+        self.net_state = {}
         self._stop = False
         self._snapshot_requested = False
         self._losses = []
@@ -67,7 +74,8 @@ class Solver:
     # ------------------------------------------------------------------
     def init(self, input_shapes: Dict[str, tuple]):
         self.rng, sub = jax.random.split(self.rng)
-        self.params = self.net.init(sub, input_shapes)
+        self.params, self.net_state = self.net.init_with_state(
+            sub, input_shapes)
         self.state = solvers.init_state(self.cfg, self.params)
         return self.params
 
@@ -75,25 +83,27 @@ class Solver:
     def _build_step(self):
         net, cfg = self.net, self.cfg
 
-        def step(params, state, batches, lr, it, rng):
+        def step(params, state, net_state, batches, lr, it, rng):
             """batches: pytree stacked over iter_size on axis 0."""
 
-            def loss_of(p, batch, r):
-                return net.loss(p, batch, train=True, rng=r)
+            def loss_of(p, ns, batch, r):
+                return net.loss(p, batch, train=True, rng=r, state=ns,
+                                return_state=True)
 
             def micro(i, acc):
-                grads_acc, loss_acc = acc
+                grads_acc, loss_acc, ns = acc
                 batch = jax.tree_util.tree_map(lambda x: x[i], batches)
                 r = jax.random.fold_in(rng, i)
-                loss, g = jax.value_and_grad(loss_of)(params, batch, r)
+                (loss, ns), g = jax.value_and_grad(loss_of, has_aux=True)(
+                    params, ns, batch, r)
                 grads_acc = jax.tree_util.tree_map(
                     lambda a, b: a + b, grads_acc, g
                 )
-                return grads_acc, loss_acc + loss
+                return grads_acc, loss_acc + loss, ns
 
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
-            grads, loss = jax.lax.fori_loop(
-                0, cfg.iter_size, micro, (zero_g, 0.0)
+            grads, loss, new_net_state = jax.lax.fori_loop(
+                0, cfg.iter_size, micro, (zero_g, 0.0, net_state)
             )
             # Normalize (sgd_solver.cpp:102-118)
             if cfg.iter_size > 1:
@@ -105,7 +115,7 @@ class Solver:
             new_params, new_state = solvers.update(
                 cfg, params, grads, state, lr, it
             )
-            return new_params, new_state, loss / cfg.iter_size
+            return new_params, new_state, new_net_state, loss / cfg.iter_size
 
         return jax.jit(step)
 
@@ -130,7 +140,8 @@ class Solver:
         while self.iter < start + iters and not self._stop:
             if (self.test_interval and self.test_net is not None
                     and self.iter % self.test_interval == 0):
-                self.test_all(data_iter=None, log=log)
+                # TestAll every test_interval (solver.cpp:191-195)
+                self.test_all(data_iter=self.test_data_iter, log=log)
             batch = next(data_iter)
             # stack iter_size micro-batches (iter_size==1: add axis)
             if self.cfg.iter_size == 1:
@@ -147,9 +158,9 @@ class Solver:
                 max_iter=self.cfg.max_iter,
             )
             self.rng, sub = jax.random.split(self.rng)
-            self.params, self.state, loss = self._step_fn(
-                self.params, self.state, batches, jnp.float32(lr),
-                jnp.int32(self.iter + 1), sub,
+            self.params, self.state, self.net_state, loss = self._step_fn(
+                self.params, self.state, self.net_state, batches,
+                jnp.float32(lr), jnp.int32(self.iter + 1), sub,
             )
             self._losses.append(float(loss))
             if len(self._losses) > self.average_loss:
@@ -176,13 +187,16 @@ class Solver:
         return self.params
 
     # ------------------------------------------------------------------
-    def test_all(self, data_iter, log=print):
+    def test_all(self, data_iter=None, log=print):
+        if data_iter is None:
+            data_iter = self.test_data_iter
         if self.test_net is None or data_iter is None:
             return {}
-        fwd = jax.jit(lambda p, b: self.test_net.apply(p, b))
+        fwd = jax.jit(
+            lambda p, ns, b: self.test_net.apply(p, b, state=ns, train=False))
         metrics: Dict[str, list] = {}
         for _ in range(self.test_iters):
-            out = fwd(self.params, next(data_iter))
+            out = fwd(self.params, self.net_state, next(data_iter))
             for k, v in out.items():
                 if np.ndim(v) == 0:
                     metrics.setdefault(k, []).append(float(v))
@@ -195,14 +209,17 @@ class Solver:
     def snapshot(self):
         path = f"{self.snapshot_prefix}_iter_{self.iter}"
         save_checkpoint(path, self.params, solver_state=self.state,
+                        net_state=self.net_state,
                         meta={"iter": self.iter,
                               "solver_type": self.cfg.solver_type})
         return path
 
     def restore(self, path: str):
-        params, state, meta = load_checkpoint(path)
+        params, state, net_state, meta = load_checkpoint_full(path)
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         if state is not None:
             self.state = jax.tree_util.tree_map(jnp.asarray, state)
+        if net_state is not None:
+            self.net_state = jax.tree_util.tree_map(jnp.asarray, net_state)
         self.iter = int(meta.get("iter", 0))
         return self.params

@@ -366,24 +366,65 @@ class LRNLayer(Layer):
 
 @register_layer("BatchNorm")
 class BatchNormLayer(Layer):
-    """Inference-style BN with stored moving stats (batch_norm_layer.cpp).
-    Training-time moving-average updates are handled by the solver via
-    `Net.apply(..., train=True)` using batch stats."""
+    """Caffe BatchNorm (batch_norm_layer.cpp). All three blobs are
+    NON-trainable buffers (the reference pins them with lr_mult 0,
+    `batch_norm_layer.cpp:30-46`), kept in the Net state collection:
 
-    def init_params(self, rng, in_shapes):
+      mean_acc / var_acc : decayed SUMS of batch statistics (blobs[0..1])
+      count              : decayed normalization factor (blobs[2])
+
+    Train forward normalizes by batch stats and accumulates
+    ``acc = moving_average_fraction * acc + batch_stat`` with the variance
+    bias-corrected by m/(m-1) (`batch_norm_layer.cpp:125-145`); test forward
+    divides the sums by ``count`` (`:13-16,96-106`). The update is returned
+    through the functional state channel (Net.apply return_state)."""
+
+    has_state = True
+
+    def init_state(self, in_shapes):
         c = in_shapes[0][-1]
         return {
-            "mean": jnp.zeros((c,), jnp.float32),
-            "var": jnp.ones((c,), jnp.float32),
+            "mean_acc": jnp.zeros((c,), jnp.float32),
+            "var_acc": jnp.zeros((c,), jnp.float32),
+            "count": jnp.zeros((), jnp.float32),
         }
 
-    def apply(self, params, inputs, *, train, rng):
+    def _moving(self, state):
+        # blobs[2]==0 -> scale 0 -> stats (0, 1-ish): normalize-by-nothing,
+        # matching the reference's scale_factor = 0 case
+        inv_n = jnp.where(state["count"] > 0, 1.0 / jnp.maximum(state["count"], 1e-30), 0.0)
+        mean = state["mean_acc"] * inv_n
+        var = jnp.where(state["count"] > 0, state["var_acc"] * inv_n, 1.0)
+        return mean, var
+
+    def apply_stateful(self, params, state, inputs, *, train, rng):
         (x,) = inputs
         eps = self.p.get("eps", 1e-5)
-        if train and self.p.get("use_global_stats") is not True:
-            out, _, _ = norm_ops.batch_norm_train(x, eps=eps)
-            return [out]
-        return [norm_ops.batch_norm_inference(x, params["mean"], params["var"], eps=eps)]
+        use_global = self.p.get("use_global_stats")
+        if use_global is None:
+            use_global = not train
+        if use_global:
+            mean, var = self._moving(state)
+            return [norm_ops.batch_norm_inference(x, mean, var, eps=eps)], state
+        out, bmean, bvar = norm_ops.batch_norm_train(x, eps=eps)
+        lam = self.p.get("moving_average_fraction", 0.999)
+        m = float(np.prod([x.shape[i] for i in (0, 1, 2)])) if x.ndim == 4 \
+            else float(x.shape[0])
+        bias_corr = m / (m - 1.0) if m > 1 else 1.0
+        new_state = {
+            "mean_acc": lam * state["mean_acc"] + bmean,
+            "var_acc": lam * state["var_acc"] + bias_corr * bvar,
+            "count": lam * state["count"] + 1.0,
+        }
+        return [out], new_state
+
+    def apply(self, params, inputs, *, train, rng):
+        outs, _ = self.apply_stateful(params, self.init_state(
+            [inputs[0].shape]), inputs, train=train, rng=rng)
+        return outs
+
+    def out_shapes(self, params, in_shapes):
+        return list(in_shapes)
 
 
 @register_layer("Scale")
@@ -475,8 +516,14 @@ class ArgMaxLayer(Layer):
 
 @register_layer("Silence")
 class SilenceLayer(Layer):
+    """Consumes bottoms, produces NO tops (silence_layer.cpp) — prevents
+    unconsumed blobs from appearing in Net.apply's final-tops dict."""
+
     def apply(self, params, inputs, *, train, rng):
-        return [jnp.zeros((), jnp.float32)]
+        return []
+
+    def out_shapes(self, params, in_shapes):
+        return []
 
 
 @register_layer("Deconvolution")

@@ -79,8 +79,18 @@ class Layer:
         self.policy = policy
         self.p = dict(spec.params)
 
+    # non-trainable mutable buffers (moving stats etc.). Kept in a SEPARATE
+    # collection from params so the solver never touches them — the reference
+    # marks these blobs lr_mult 0 (BatchNorm's mean/var/scale blobs,
+    # `src/caffe/layers/batch_norm_layer.cpp:30-46`).
+    has_state = False
+
     # -- parameters --------------------------------------------------------
     def init_params(self, rng, in_shapes: List[Tuple[int, ...]]):
+        return {}
+
+    def init_state(self, in_shapes: List[Tuple[int, ...]]):
+        """Initial non-trainable buffers; only called when has_state."""
         return {}
 
     def align(self, params):
@@ -90,6 +100,11 @@ class Layer:
     # -- forward -----------------------------------------------------------
     def apply(self, params, inputs: List[jax.Array], *, train: bool, rng):
         raise NotImplementedError
+
+    def apply_stateful(self, params, state, inputs, *, train: bool, rng):
+        """(outs, new_state). Default: stateless layers pass state through.
+        Stateful layers (has_state=True) override this instead of apply."""
+        return self.apply(params, inputs, train=train, rng=rng), state
 
     def out_shapes(self, params, in_shapes) -> List[Tuple[int, ...]]:
         outs = jax.eval_shape(
@@ -127,8 +142,11 @@ class Net:
 
     # ------------------------------------------------------------------
     def init(self, rng, input_shapes: Dict[str, Tuple[int, ...]]):
-        """Returns params: dict layer_name -> pytree. Also caches blob shapes."""
+        """Returns params: dict layer_name -> pytree. Also caches blob shapes
+        and the initial buffer state (`self.state0`: layer_name -> buffers,
+        for has_state layers — use `init_with_state` to receive it)."""
         params: Dict[str, Any] = {}
+        state0: Dict[str, Any] = {}
         shapes: Dict[str, Tuple[int, ...]] = dict(input_shapes)
         for layer in self.layers:
             spec = layer.spec
@@ -145,11 +163,22 @@ class Net:
                 p = layer.init_params(sub, in_shapes)
                 if p:
                     params[spec.name] = p
+            if layer.has_state:
+                state0[spec.name] = layer.init_state(in_shapes)
             outs = layer.out_shapes(p, in_shapes)
             for t, o in zip(spec.tops, outs):
                 shapes[t] = tuple(o)
         self.blob_shapes = shapes
+        self.state0 = state0
         return params
+
+    def init_with_state(self, rng, input_shapes):
+        """(params, state): the trainable / buffer split. state carries
+        moving statistics (BatchNorm) — thread it through apply/loss with
+        return_state=True during training and pass the final state to
+        inference (the reference's blobs[0..2] persisted in .caffemodel)."""
+        params = self.init(rng, input_shapes)
+        return params, self.state0
 
     # ------------------------------------------------------------------
     def apply(
@@ -160,10 +189,23 @@ class Net:
         train: bool = False,
         rng=None,
         return_blobs: bool = False,
+        state: Optional[Dict[str, Any]] = None,
+        return_state: bool = False,
     ):
         """Topological forward. Returns dict of final tops (blobs never read
-        by a later layer), or all blobs with return_blobs=True."""
+        by a later layer), or all blobs with return_blobs=True.
+
+        ``state`` is the buffer collection (init_with_state); None uses the
+        freshly-initialized buffers from init (untrained moving stats). With
+        ``return_state=True`` the result is ``(result, new_state)`` — in train
+        mode new_state carries the moving-average updates (the reference
+        mutates its BN blobs in Forward, `batch_norm_layer.cpp:125-145`; here
+        the update is an explicit functional output so the whole step jits).
+        """
         blobs: Dict[str, jax.Array] = dict(inputs)
+        if state is None:
+            state = getattr(self, "state0", {})
+        new_state = dict(state)
         consumed = set()
         for layer in self.layers:
             spec = layer.spec
@@ -174,26 +216,48 @@ class Net:
             else:
                 sub = None
             pkey = spec.share_params or spec.name
-            outs = layer.apply(params.get(pkey, {}), ins, train=train, rng=sub)
+            if layer.has_state:
+                outs, st = layer.apply_stateful(
+                    params.get(pkey, {}), state.get(spec.name, {}), ins,
+                    train=train, rng=sub,
+                )
+                if train:
+                    new_state[spec.name] = st
+            else:
+                outs = layer.apply(params.get(pkey, {}), ins, train=train,
+                                   rng=sub)
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
             for t, o in zip(spec.tops, outs):
                 blobs[t] = o
         if return_blobs:
-            return blobs
-        all_tops = [t for l in self.layers for t in l.spec.tops]
-        finals = [t for t in all_tops if t not in consumed]
-        return {t: blobs[t] for t in dict.fromkeys(finals)}
+            result = blobs
+        else:
+            all_tops = [t for l in self.layers for t in l.spec.tops]
+            # `t in blobs` guards layers that legitimately emit no tops
+            # (Silence consumes bottoms and produces nothing)
+            finals = [t for t in all_tops if t not in consumed and t in blobs]
+            result = {t: blobs[t] for t in dict.fromkeys(finals)}
+        if return_state:
+            return result, new_state
+        return result
 
     # ------------------------------------------------------------------
-    def loss(self, params, inputs, *, train: bool = True, rng=None):
+    def loss(self, params, inputs, *, train: bool = True, rng=None,
+             state: Optional[Dict[str, Any]] = None,
+             return_state: bool = False):
         """Weighted sum of loss-layer tops (Caffe loss_weight semantics)."""
-        blobs = self.apply(params, inputs, train=train, rng=rng, return_blobs=True)
+        blobs, new_state = self.apply(
+            params, inputs, train=train, rng=rng, return_blobs=True,
+            state=state, return_state=True,
+        )
         total = 0.0
         for layer in self.layers:
             w = layer.spec.loss_weight
             if w:
                 total = total + w * blobs[layer.spec.tops[0]]
+        if return_state:
+            return total, new_state
         return total
 
     # ------------------------------------------------------------------
@@ -207,16 +271,19 @@ class Net:
         return out
 
     # ------------------------------------------------------------------
-    def inference_fn(self, aligned_params, *, align: bool = False):
+    def inference_fn(self, aligned_params, *, align: bool = False,
+                     state: Optional[Dict[str, Any]] = None):
         """Jitted forward with the weights CLOSED OVER (the standard sparse
         deployment shape). Closing over — rather than passing the param
         pytree as a traced argument — keeps the sparsity pattern concrete at
         trace time, which enables the XBSP executor
         (kernels/xla_block_sparse.py), the fastest sparse-conv arm. Pass
-        ``align=True`` to run weight_align here."""
+        ``align=True`` to run weight_align here; ``state`` carries trained
+        moving statistics (init_with_state / Solver.net_state)."""
         if align:
             aligned_params = self.weight_align(aligned_params)
-        return jax.jit(lambda inputs: self.apply(aligned_params, inputs))
+        return jax.jit(
+            lambda inputs: self.apply(aligned_params, inputs, state=state))
 
     # ------------------------------------------------------------------
     def num_params(self, params) -> int:

@@ -32,26 +32,33 @@ def replicate_params(mesh: Mesh, params):
 
 
 def make_dp_train_step(net: Net, cfg: solvers.SolverConfig, mesh: Mesh):
-    """Returns jitted (params, state, batch, lr, it, rng) -> (params, state,
-    loss) with batch sharded over `data` and params/state replicated."""
+    """Returns jitted (params, state, net_state, batch, lr, it, rng) ->
+    (params, state, net_state, loss) with batch sharded over `data` and
+    params/state replicated. net_state carries non-trainable buffers
+    (BatchNorm moving stats); under batch sharding the batch statistics are
+    computed over the GLOBAL batch (XLA inserts the cross-device mean), so
+    the moving-average update is replica-identical by construction — the
+    reference's per-GPU BN, by contrast, averaged only local stats."""
     rep = NamedSharding(mesh, P())
     bsharded = NamedSharding(mesh, P("data"))
 
-    def step(params, state, batch, lr, it, rng):
-        def loss_of(p):
-            return net.loss(p, batch, train=True, rng=rng)
+    def step(params, state, net_state, batch, lr, it, rng):
+        def loss_of(p, ns):
+            return net.loss(p, batch, train=True, rng=rng, state=ns,
+                            return_state=True)
 
-        loss, grads = jax.value_and_grad(loss_of)(params)
+        (loss, new_ns), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            params, net_state)
         grads = solvers.regularize(cfg, params, grads)
         grads = solvers.clip_gradients(cfg, grads)
         new_params, new_state = solvers.update(cfg, params, grads, state, lr, it)
-        return new_params, new_state, loss
+        return new_params, new_state, new_ns, loss
 
     return jax.jit(
         step,
-        in_shardings=(rep, rep, {"data": bsharded, "label": bsharded},
+        in_shardings=(rep, rep, rep, {"data": bsharded, "label": bsharded},
                       None, None, None),
-        out_shardings=(rep, rep, None),
+        out_shardings=(rep, rep, rep, None),
     )
 
 

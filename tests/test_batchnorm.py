@@ -1,0 +1,154 @@
+"""Training-mode BatchNorm semantics + the Net state channel.
+
+Reference semantics under test: `src/caffe/layers/batch_norm_layer.cpp`
+13-16 (scale_factor normalization), 125-145 (moving-average accumulation
+with moving_average_fraction and m/(m-1) variance bias correction). The
+reference never unit-tested this; we check the recursion analytically and
+end-to-end through the Solver (train with batch stats -> infer with learned
+moving stats).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caffe_escoin_tpu.engine.solver import Solver
+from caffe_escoin_tpu.engine.solvers import SolverConfig
+from caffe_escoin_tpu.nn import LayerSpec, Net
+
+
+def _bn_net(lam=0.9):
+    return Net([
+        LayerSpec("data", "Input"),
+        LayerSpec("bn", "BatchNorm", ("data",),
+                  params=dict(moving_average_fraction=lam)),
+    ], phase="train")
+
+
+def test_bn_train_normalizes_with_batch_stats(rng):
+    net = _bn_net()
+    x = jnp.asarray(rng.standard_normal((8, 5, 5, 4)) * 3 + 2, jnp.float32)
+    params, state = net.init_with_state(jax.random.PRNGKey(0),
+                                        {"data": (8, 5, 5, 4)})
+    out, _ = net.apply(params, {"data": x}, train=True, state=state,
+                       return_state=True)
+    y = np.asarray(out["bn"])
+    np.testing.assert_allclose(y.mean(axis=(0, 1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y.var(axis=(0, 1, 2)), 1.0, atol=1e-2)
+
+
+def test_bn_moving_average_recursion_caffe_exact(rng):
+    """acc_t = lam*acc_{t-1} + stat_t, count_t = lam*count_{t-1} + 1, with
+    variance bias-corrected by m/(m-1) (batch_norm_layer.cpp:125-145)."""
+    lam = 0.7
+    net = _bn_net(lam)
+    shape = (6, 3, 3, 2)
+    params, state = net.init_with_state(jax.random.PRNGKey(0),
+                                        {"data": shape})
+    m = shape[0] * shape[1] * shape[2]
+    exp_mean = np.zeros(2)
+    exp_var = np.zeros(2)
+    exp_count = 0.0
+    for t in range(3):
+        x = rng.standard_normal(shape).astype(np.float32) * (t + 1)
+        _, state = net.apply(params, {"data": jnp.asarray(x)}, train=True,
+                             state=state, return_state=True)
+        bmean = x.mean(axis=(0, 1, 2))
+        bvar = x.var(axis=(0, 1, 2))
+        exp_mean = lam * exp_mean + bmean
+        exp_var = lam * exp_var + (m / (m - 1.0)) * bvar
+        exp_count = lam * exp_count + 1.0
+    np.testing.assert_allclose(np.asarray(state["bn"]["mean_acc"]), exp_mean,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(state["bn"]["var_acc"]), exp_var,
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(state["bn"]["count"]), exp_count,
+                               rtol=1e-6)
+
+
+def test_bn_inference_uses_learned_moving_stats(rng):
+    """Feed a fixed-distribution stream in train mode, then check eval-mode
+    output normalizes that distribution via the accumulated stats."""
+    net = _bn_net(lam=0.95)
+    shape = (16, 4, 4, 3)
+    params, state = net.init_with_state(jax.random.PRNGKey(0),
+                                        {"data": shape})
+    mu, sigma = 3.0, 2.0
+    for t in range(50):
+        x = jnp.asarray(rng.standard_normal(shape) * sigma + mu, jnp.float32)
+        _, state = net.apply(params, {"data": x}, train=True, state=state,
+                             return_state=True)
+    xe = jnp.asarray(rng.standard_normal(shape) * sigma + mu, jnp.float32)
+    out = net.apply(params, {"data": xe}, train=False, state=state)["bn"]
+    y = np.asarray(out)
+    # moving stats estimate (mu, sigma^2) -> output ~ N(0, 1)
+    assert abs(y.mean()) < 0.15
+    assert abs(y.std() - 1.0) < 0.15
+
+
+def test_bn_buffers_not_in_solver_params():
+    net = Net([
+        LayerSpec("data", "Input"),
+        LayerSpec("label", "Input"),
+        LayerSpec("conv1", "Convolution", ("data",),
+                  params=dict(num_output=4, kernel=3, pad=1)),
+        LayerSpec("bn1", "BatchNorm", ("conv1",)),
+        LayerSpec("ip", "InnerProduct", ("bn1",), params=dict(num_output=3)),
+        LayerSpec("loss", "SoftmaxWithLoss", ("ip", "label")),
+    ], phase="train")
+    solver = Solver(net, SolverConfig(base_lr=0.05), display=0)
+    solver.init({"data": (4, 6, 6, 2), "label": (4,)})
+    assert "bn1" not in solver.params  # buffers live in net_state only
+    assert "bn1" in solver.net_state
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield {"data": jnp.asarray(
+                rng.standard_normal((4, 6, 6, 2)), jnp.float32),
+                "label": jnp.asarray(rng.integers(0, 3, 4))}
+
+    count0 = float(solver.net_state["bn1"]["count"])
+    solver.step(batches(), 3)
+    assert float(solver.net_state["bn1"]["count"]) > count0  # stats updated
+
+
+def test_bn_state_snapshot_roundtrip(tmp_path):
+    net = _bn_net()
+    solver = Solver(net, SolverConfig(), display=0,
+                    snapshot_prefix=str(tmp_path / "bn"))
+    solver.init({"data": (4, 3, 3, 2)})
+    solver.net_state = {"bn": {
+        "mean_acc": jnp.asarray([1.0, 2.0]),
+        "var_acc": jnp.asarray([3.0, 4.0]),
+        "count": jnp.asarray(2.5),
+    }}
+    path = solver.snapshot()
+    s2 = Solver(net, SolverConfig(), display=0)
+    s2.init({"data": (4, 3, 3, 2)})
+    s2.restore(path)
+    np.testing.assert_allclose(np.asarray(s2.net_state["bn"]["mean_acc"]),
+                               [1.0, 2.0])
+    np.testing.assert_allclose(float(s2.net_state["bn"]["count"]), 2.5)
+
+
+def test_silence_emits_no_tops(rng):
+    net = Net([
+        LayerSpec("data", "Input"),
+        LayerSpec("ip", "InnerProduct", ("data",), params=dict(num_output=3),
+                  tops=("fc", "unused")),
+        LayerSpec("sil", "Silence", ("unused",)),
+        LayerSpec("sm", "Softmax", ("fc",)),
+    ])
+    # InnerProduct emits one top; the extra name stays unbound and Silence on
+    # it would be a config error — use the realistic shape: Silence a real top
+    net = Net([
+        LayerSpec("data", "Input"),
+        LayerSpec("ip", "InnerProduct", ("data",), params=dict(num_output=3)),
+        LayerSpec("sil", "Silence", ("ip",)),
+    ])
+    params = net.init(jax.random.PRNGKey(0), {"data": (2, 5)})
+    out = net.apply(params, {"data": jnp.asarray(
+        rng.standard_normal((2, 5)), jnp.float32)})
+    assert "sil" not in out  # Silence produces nothing
+    assert out == {}  # its bottom was consumed; nothing else is final

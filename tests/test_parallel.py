@@ -53,8 +53,8 @@ def test_dp_train_step_matches_single_device():
     p_rep = dp.replicate_params(mesh, params)
     s_rep = dp.replicate_params(mesh, state)
     b_shard = dp.shard_batch(mesh, batch)
-    new_p, new_s, loss = step(p_rep, s_rep, b_shard, jnp.float32(0.1),
-                              jnp.int32(1), jax.random.PRNGKey(1))
+    new_p, new_s, _, loss = step(p_rep, s_rep, {}, b_shard, jnp.float32(0.1),
+                                 jnp.int32(1), jax.random.PRNGKey(1))
 
     # single-device reference
     def loss_of(p):
