@@ -50,6 +50,58 @@ def supported(aligned: AlignedConvWeight, policy) -> bool:
     return _concrete(aligned.bsc.block_row) and _concrete(aligned.bsc.bcol_nnz)
 
 
+def spmm_supported(bsc, policy=None) -> bool:
+    """Static-unroll SpMM needs the BSC *pattern* concrete at trace time
+    (payloads may be traced)."""
+    if bsc is None:
+        return False
+    if policy is not None and not getattr(policy, "use_xla_sparse", True):
+        return False
+    return _concrete(bsc.block_row) and _concrete(bsc.bcol_nnz)
+
+
+def spmm(x, bsc, *, bias=None, relu=False):
+    """x[M, K] @ BSC[K, N] -> [M, N] via trace-time block unroll.
+
+    The FC twin of `conv` below (reference: the fc bucket of
+    `tools/caffe.cpp:338-367`; the reference never sparsified FC — this is
+    the capability superset noted in ops/linear.py). One dot_general per
+    live (K-block, N-block); zero blocks cost nothing; per-column bias/relu
+    epilogues fuse into the final dot of each chain. Accepts x with K or
+    K-padded columns (BSC edge blocks are zero-padded)."""
+    bk, bn = bsc.block_shape
+    kdim, ncols = bsc.shape
+    m = x.shape[0]
+    block_row = np.asarray(jax.device_get(bsc.block_row))
+    bcol_nnz = np.asarray(jax.device_get(bsc.bcol_nnz))
+    wblocks = bsc.blocks.astype(x.dtype)
+    outs = []
+    for j in range(block_row.shape[0]):
+        acc = None
+        for s in range(int(bcol_nnz[j])):
+            kb = int(block_row[j, s])
+            a = x[:, kb * bk : min((kb + 1) * bk, x.shape[1])]
+            blk = wblocks[j, s]
+            if a.shape[-1] < bk:  # K tail (x not padded to n_brows*bk)
+                blk = blk[: a.shape[-1]]
+            d = jax.lax.dot_general(
+                a, blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        if acc is None:
+            acc = jnp.zeros((m, bn), jnp.float32)
+        if bias is not None:
+            bcol = bias[j * bn:(j + 1) * bn]
+            if bcol.shape[0] < bn:
+                bcol = jnp.pad(bcol, (0, bn - bcol.shape[0]))
+            acc = acc + bcol
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        outs.append(acc.astype(x.dtype))
+    out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    return out[:, :ncols]
+
+
 def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
          dilation=(1, 1), relu=False):
     """Block-sparse conv via static XLA unroll. x: [N,H,W,Cin] (any float

@@ -207,7 +207,12 @@ class ImageDataLayer(_PrefetchingDataLayer):
 class HDF5DataLayer(_PrefetchingDataLayer):
     """HDF5 data layer (hdf5_data_layer.cpp): `source` lists .h5 files, each
     holding equally-sized datasets; every named dataset becomes a top, in the
-    order given by `tops` (defaults to the spec's declared tops)."""
+    order given by `tops` (defaults to the spec's declared tops).
+
+    Streams ONE file into memory at a time (`hdf5_data_layer.cpp:27,111,142`
+    LoadHDF5FileData on rollover); batches span file boundaries. With
+    `shuffle`, both the file order and the rows within each file are permuted
+    per epoch (the reference's file_permutation_/data_permutation_)."""
 
     def _source(self):
         import h5py
@@ -215,23 +220,44 @@ class HDF5DataLayer(_PrefetchingDataLayer):
         with open(self.p["source"]) as f:
             files = [ln.strip() for ln in f if ln.strip()]
         tops = list(self.spec.tops)
-        arrays = {t: [] for t in tops}
-        for path in files:
-            with h5py.File(path, "r") as h5:
-                for t in tops:
-                    arrays[t].append(np.asarray(h5[t], np.float32))
-        cat = {t: np.concatenate(arrays[t]) for t in tops}
-        total = len(cat[tops[0]])
         n = self.p["batch_size"]
-        order = np.arange(total)
-        if self.p.get("shuffle", False):
-            np.random.default_rng(self.p.get("seed", 0)).shuffle(order)
-        pos = [0]
+        shuffle = self.p.get("shuffle", False)
+        rng = np.random.default_rng(self.p.get("seed", 0))
+        file_order = list(range(len(files)))
+        state = {"fi": 0, "pos": 0, "cur": None, "order": None}
+
+        def _load_current():
+            path = files[file_order[state["fi"]]]
+            with h5py.File(path, "r") as h5:
+                state["cur"] = {t: np.asarray(h5[t], np.float32)
+                                for t in tops}
+            order = np.arange(len(state["cur"][tops[0]]))
+            if shuffle:
+                rng.shuffle(order)
+            state["order"], state["pos"] = order, 0
 
         def src():
-            idx = [(pos[0] + k) % total for k in range(n)]
-            pos[0] = (pos[0] + n) % total
-            return {t: cat[t][order[idx]] for t in tops}
+            out = {t: [] for t in tops}
+            need = n
+            while need > 0:
+                if state["cur"] is None:
+                    _load_current()
+                avail = len(state["order"]) - state["pos"]
+                take = min(need, avail)
+                idx = state["order"][state["pos"]:state["pos"] + take]
+                for t in tops:
+                    out[t].append(state["cur"][t][idx])
+                state["pos"] += take
+                need -= take
+                if state["pos"] >= len(state["order"]):
+                    state["cur"] = None  # free this file before the next
+                    state["fi"] += 1
+                    if state["fi"] >= len(files):  # epoch rollover
+                        state["fi"] = 0
+                        if shuffle:
+                            rng.shuffle(file_order)
+            return {t: np.concatenate(out[t]) if len(out[t]) > 1
+                    else out[t][0] for t in tops}
 
         return src
 

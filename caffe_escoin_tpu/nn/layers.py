@@ -182,7 +182,8 @@ class InnerProductLayer(Layer):
             ):
                 if aligned.cin_pad != aligned.cin:
                     x2 = jnp.pad(x2, ((0, 0), (0, aligned.cin_pad - aligned.cin)))
-                out = linear_ops.linear_sparse(x2, aligned.bsc, aligned.bias)
+                out = linear_ops.linear_sparse(x2, aligned.bsc, aligned.bias,
+                                               policy=self.policy)
             else:
                 w = aligned.dense.reshape(-1, aligned.cout)
                 out = linear_ops.linear(x2, w, aligned.bias)

@@ -146,9 +146,23 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
     # the sparsity pattern concrete at trace time (aligned weights closed
     # over — the standard inference deployment).
     if xla_block_sparse.supported(aligned, policy):
-        return xla_block_sparse.conv(
-            x, aligned, stride=stride, padding=padding, dilation=dilation,
-            relu=relu)
+        def _xbsp(y):
+            return xla_block_sparse.conv(
+                y, aligned, stride=stride, padding=padding,
+                dilation=dilation, relu=relu)
+
+        # SCONV vs SCONV_PAR keep the reference's distinction
+        # (`conv_layer.cu:16-35`): SCONV processes the batch image-by-image
+        # (one padded slab live at a time, `forward_gpu_sconv`'s per-image
+        # loop — bounded activation memory); SCONV_PAR folds the whole batch
+        # into every dot's M dimension (`forward_gpu_sconv_par`'s ×num_
+        # padded buffer — weights fetched once per block for all images,
+        # the throughput deployment shape).
+        if batch_parallel or x.shape[0] == 1:
+            return _xbsp(x)
+        import jax
+
+        return jax.lax.map(lambda img: _xbsp(img[None])[0], x)
 
     # Fused-slab direct kernel (v3): native NHWC in/out, activation read
     # once, zero XLA copies around the custom call. Preferred whenever its

@@ -27,13 +27,26 @@ def linear(x, w, bias=None, *, relu=False):
     return out
 
 
-def linear_sparse(x, sparse_w, bias=None, *, relu=False):
-    """Sparse-weight FC. sparse_w: BSC of W[K, M] or ELL of W^T[M, K]."""
+def linear_sparse(x, sparse_w, bias=None, *, relu=False,
+                  policy: Optional[ExecutionPolicy] = None):
+    """Sparse-weight FC. sparse_w: BSC of W[K, M] or ELL of W^T[M, K].
+
+    BSC with a trace-time-concrete pattern (weights closed over — the
+    inference deployment) routes through the XBSP static block unroll,
+    the same fast executor the conv path uses; zero blocks cost nothing
+    and the bias/relu epilogue fuses per block-column. Traced patterns
+    fall back to the portable gather SpMM."""
     lead = x.shape[:-1]
     x2d = x.reshape(-1, x.shape[-1])
     if isinstance(sparse_w, BSC):
-        out2d = spmm_kernels.bsc_spmm(x2d, sparse_w)
+        from caffe_escoin_tpu.kernels import xla_block_sparse
+
         m = sparse_w.shape[1]
+        if xla_block_sparse.spmm_supported(sparse_w, policy):
+            out = xla_block_sparse.spmm(x2d, sparse_w, bias=bias,
+                                        relu=relu).reshape(*lead, m)
+            return out
+        out2d = spmm_kernels.bsc_spmm(x2d, sparse_w)
     elif isinstance(sparse_w, ELL):
         out2d = spmm_kernels.ell_spmm(sparse_w, x2d.T).T
         m = sparse_w.shape[0]

@@ -122,8 +122,14 @@ def weight_align(
     groups: int = 1,
     policy: Optional[ExecutionPolicy] = None,
     with_stats: bool = True,
+    with_ell: Optional[bool] = None,
 ) -> AlignedConvWeight:
-    """Build the aligned sparse representations for one conv layer."""
+    """Build the aligned sparse representations for one conv layer.
+
+    The ELL (unstructured row-sparse) artifact is built only when the policy
+    actually executes it (``sparse_format == ELL``) or ``with_ell=True`` —
+    for fc-scale matrices it is a large host-memory cost the BSR path never
+    reads."""
     policy = policy or ExecutionPolicy()
     w = np.asarray(jax.device_get(w_hwio))
     kh, kw, cin_g, cout = w.shape
@@ -143,9 +149,14 @@ def weight_align(
     bsc = None
     ell_t = None
     stats = None
+    from caffe_escoin_tpu.engine.context import SparseFormat
+
+    if with_ell is None:
+        with_ell = policy.sparse_format == SparseFormat.ELL
     if sparsity >= min(policy.sparse_threshold, policy.sconv_threshold):
         bsc = dense_to_bsc(wmat, (bk, bn))
-        ell_t = dense_to_ell(wmat.T, lane_pad=8)
+        if with_ell:
+            ell_t = dense_to_ell(wmat.T, lane_pad=8)
     if with_stats:
         per_offset = (wmat != 0).reshape(kh * kw, cin_pad, cout).sum(axis=(1, 2))
         per_oc = (wmat != 0).sum(axis=0)

@@ -154,3 +154,30 @@ def test_lstm_unit_layer():
                         rng=None)
     np.testing.assert_allclose(np.asarray(c0), sig(i) * np.tanh(g),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_hdf5_streaming_spans_files(tmp_path):
+    """Batches span file boundaries with one file resident at a time
+    (hdf5_data_layer.cpp:111,142 LoadHDF5FileData on rollover)."""
+    h5py = pytest.importorskip("h5py")
+    paths = []
+    for i, n in enumerate((3, 2, 4)):
+        p = str(tmp_path / f"f{i}.h5")
+        with h5py.File(p, "w") as h5:
+            h5["data"] = np.full((n, 2), i, np.float32)
+            h5["label"] = np.arange(n, dtype=np.float32) + 10 * i
+        paths.append(p)
+    src = tmp_path / "list.txt"
+    src.write_text("".join(p + "\n" for p in paths))
+    layer = _make("HDF5Data", source=str(src), batch_size=4)
+    d1, l1 = layer.apply({}, [], train=True, rng=None)
+    # first batch: 3 rows from file0 + 1 from file1
+    assert np.asarray(d1)[:, 0].tolist() == [0, 0, 0, 1]
+    assert np.asarray(l1).tolist() == [0, 1, 2, 10]
+    d2, l2 = layer.apply({}, [], train=True, rng=None)
+    # second: 1 from file1 + 3 from file2
+    assert np.asarray(d2)[:, 0].tolist() == [1, 2, 2, 2]
+    d3, _ = layer.apply({}, [], train=True, rng=None)
+    # third: last of file2 + epoch rollover into file0
+    assert np.asarray(d3)[:, 0].tolist() == [2, 0, 0, 0]
+    layer.close()

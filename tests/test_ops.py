@@ -56,6 +56,9 @@ def test_conv2d_sparse_modes_grouped(rng, mode):
 def test_conv2d_ell_format_path(rng):
     w, b, aligned, policy = _conv_setup(rng)
     policy = policy.replace(sparse_format=SparseFormat.ELL)
+    # ELL is built lazily: re-align under the ELL policy
+    aligned = weight_align(w, b, policy=policy)
+    assert aligned.ell_t is not None
     x = rng.standard_normal((1, 8, 8, 16)).astype(np.float32)
     out = conv2d(x, aligned, padding=(1, 1), mode=ConvMode.LOWERED_SPARSE,
                  policy=policy)

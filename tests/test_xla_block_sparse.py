@@ -109,3 +109,39 @@ def test_dispatch_routes_to_xbsp_when_concrete():
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("sparsity", [0.7, 0.9])
+def test_spmm_static_unroll(sparsity):
+    """FC twin of the conv unroll (ops/linear.py fast path) vs dense oracle."""
+    from caffe_escoin_tpu.sparse.formats import dense_to_bsc
+    from caffe_escoin_tpu.utils.pruning import prune_blocks
+
+    rng = np.random.default_rng(3)
+    w = prune_blocks(
+        rng.standard_normal((200, 96)).astype(np.float32), sparsity, (8, 16))
+    bsc = dense_to_bsc(w, (8, 16))
+    x = jnp.asarray(rng.standard_normal((10, 200)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(96).astype(np.float32))
+    out = jax.jit(
+        lambda x: xla_block_sparse.spmm(x, bsc, bias=b, relu=True))(x)
+    ref = jnp.maximum(x @ jnp.asarray(w) + b, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_linear_sparse_routes_to_xbsp():
+    from caffe_escoin_tpu.ops import linear as linear_ops
+    from caffe_escoin_tpu.sparse.formats import dense_to_bsc
+    from caffe_escoin_tpu.utils.pruning import prune_blocks
+
+    rng = np.random.default_rng(4)
+    w = prune_blocks(
+        rng.standard_normal((64, 48)).astype(np.float32), 0.8, (8, 8))
+    bsc = dense_to_bsc(w, (8, 8))
+    x = jnp.asarray(rng.standard_normal((3, 2, 64)).astype(np.float32))
+    out = jax.jit(lambda x: linear_ops.linear_sparse(x, bsc))(x)
+    ref = x @ jnp.asarray(w)
+    assert out.shape == (3, 2, 48)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
