@@ -78,6 +78,13 @@ class ExecutionPolicy:
     # XLA-native static block-sparse unroll (kernels/xla_block_sparse.py) as
     # the primary sparse-conv executor; False forces the Pallas kernels.
     use_xla_sparse: bool = True
+    # XBSP formulation: "unroll" (per-block-column dot chains — wins on
+    # compute-bound k>1 and reduce-1x1 shapes), "gathered" (single GEMM over
+    # the union of live K-blocks, output written once — wins on
+    # write-bound expand-1x1 shapes), or "auto" (per-shape heuristic from
+    # on-chip profiling; the reference's per-shape kernel dispatch,
+    # `math_functions.cu:589-694`, reborn as a policy rule).
+    xbsp_arm: str = "auto"
 
     def resolved_mxu_dtype(self):
         if self.mxu_dtype == "auto":

@@ -50,6 +50,45 @@ def supported(aligned: AlignedConvWeight, policy) -> bool:
     return _concrete(aligned.bsc.block_row) and _concrete(aligned.bsc.bcol_nnz)
 
 
+def union_live_fraction(aligned: AlignedConvWeight) -> float:
+    """Fraction of K-blocks live in at least one output block-column — the
+    gathered arm's read volume relative to dense."""
+    block_row = np.asarray(jax.device_get(aligned.bsc.block_row))
+    bcol_nnz = np.asarray(jax.device_get(aligned.bsc.bcol_nnz))
+    live = {int(block_row[j, s]) for j in range(block_row.shape[0])
+            for s in range(int(bcol_nnz[j]))}
+    return len(live) / max(1, aligned.bsc.n_brows)
+
+
+def best_arm(aligned: AlignedConvWeight, policy) -> str:
+    """Per-shape executor choice: "unroll" | "gathered" | "dense".
+
+    The reference dispatches per shape among its 8 CUDA kernels
+    (`math_functions.cu:589-694`); here the rules come from on-chip
+    profiling of ResNet-50's stride-1 shapes at 70-95% block sparsity:
+
+    * k>1 and reduce-1x1 shapes are COMPUTE-bound on the dense baseline —
+      the per-column unroll's trace-time block skipping wins (2-3x).
+    * expand-1x1 shapes (cout > cin) are OUTPUT-WRITE-bound — both arms
+      write the same bytes, so the single-GEMM gathered form (one output
+      write, fewer input reads) is the ceiling; when the union of live
+      K-blocks covers ALL of K and cin fills the 128-lane tile, XLA's own
+      1x1-conv lowering beats any dot_general formulation — fall back to
+      dense conv on the pruned weight (the reference's density fallback,
+      `base_conv_layer.cpp:752`, driven by block structure instead of a
+      scalar threshold).
+    """
+    arm = getattr(policy, "xbsp_arm", "auto")
+    if arm != "auto":
+        return arm
+    kh, kw = aligned.kernel_shape
+    if not (kh == kw == 1 and aligned.cout > aligned.cin):
+        return "unroll"
+    if aligned.cin >= 128 and union_live_fraction(aligned) >= 1.0:
+        return "dense"
+    return "gathered"
+
+
 def spmm_supported(bsc, policy=None) -> bool:
     """Static-unroll SpMM needs the BSC *pattern* concrete at trace time
     (payloads may be traced)."""
@@ -100,6 +139,116 @@ def spmm(x, bsc, *, bias=None, relu=False):
         outs.append(acc.astype(x.dtype))
     out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
     return out[:, :ncols]
+
+
+def conv_gathered(x, aligned: AlignedConvWeight, *, stride=(1, 1),
+                  padding=(0, 0), dilation=(1, 1), relu=False):
+    """Block-sparse conv as ONE dense GEMM over gathered live K-blocks
+    (the XBSP-G executor).
+
+    Block-granular "sparse im2col": take the UNION of live (kernel-offset,
+    cin-block) K-blocks across all output block-columns, concatenate only
+    those shifted ifmap slices (the im2col restricted to live blocks —
+    the reference's LOWERED_SPARSE path at block granularity,
+    `base_conv_layer.cpp:727-736`), and run a single MXU GEMM against the
+    union-packed weight (rows for blocks dead in a given column are zero).
+
+    vs the per-column unroll (`conv`): the output is written exactly ONCE
+    (the unroll writes each column's accumulator and then concatenates —
+    2x output bytes), and the GEMM's K dimension is U*bk instead of bk,
+    which the MXU pipelines far better. The price is compute on the
+    zero-padding inside the union (union_size x Cout instead of
+    sum-of-live-per-column) — cheap while the layer is bandwidth-bound,
+    which profiling shows all ResNet-50 stride-1 shapes are. The dispatcher
+    (ops/conv.py) picks per layer via a byte/FLOP cost model.
+    """
+    kh, kw = aligned.kernel_shape
+    bk, bn = aligned.bsc.block_shape
+    n_cin_b = aligned.cin_pad // bk
+    ph, pw = padding
+    sh, sw = stride
+    dh, dw = dilation
+    n, h, w, c = x.shape
+    ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
+    wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
+
+    xp = x
+    if ph or pw:
+        xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+
+    block_row = np.asarray(jax.device_get(aligned.bsc.block_row))
+    bcol_nnz = np.asarray(jax.device_get(aligned.bsc.bcol_nnz))
+    ncols = block_row.shape[0]
+
+    # union of live K-blocks across block-columns, in K order
+    live = sorted({
+        int(block_row[j, s])
+        for j in range(ncols)
+        for s in range(int(bcol_nnz[j]))
+    })
+    if not live:
+        out = jnp.zeros((n, ho, wo, aligned.cout), jnp.float32)
+        if aligned.bias is not None:
+            out = out + aligned.bias
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        return out.astype(x.dtype)
+    upos = {kb: i for i, kb in enumerate(live)}
+
+    # gathered activation: concat the live blocks' shifted slices.
+    # Full-union 1x1 special case: the gather would just reassemble x —
+    # skip the copy entirely (the no-op gather showed up as a full extra
+    # read+write of the ifmap in profiles).
+    if (kh == kw == 1 and live == list(range(n_cin_b))
+            and c == aligned.cin_pad):
+        xg = xp[:, ::sh, ::sw, :]
+    else:
+        slices = []
+        for kb in live:
+            off, cb = kb // n_cin_b, kb % n_cin_b
+            khi, kwi = (off // kw) * dh, (off % kw) * dw
+            a = xp[:, khi:khi + sh * (ho - 1) + 1:sh,
+                   kwi:kwi + sw * (wo - 1) + 1:sw,
+                   cb * bk:min((cb + 1) * bk, c)]
+            if a.shape[-1] < bk:  # channel tail (cin_pad > cin)
+                a = jnp.pad(a,
+                            ((0, 0), (0, 0), (0, 0), (0, bk - a.shape[-1])))
+            slices.append(a)
+        xg = jnp.concatenate(slices, axis=-1) if len(slices) > 1 else slices[0]
+
+    # union-packed weight [U*bk, ncols*bn], assembled host-side when the
+    # payload is concrete (the deployment shape), else via scatter-adds that
+    # XLA constant-folds for closed-over weights
+    blocks = aligned.bsc.blocks
+    if _concrete(blocks):
+        wg = np.zeros((len(live) * bk, ncols * bn),
+                      np.asarray(jax.device_get(blocks)).dtype)
+        bl = np.asarray(jax.device_get(blocks))
+        for j in range(ncols):
+            for s in range(int(bcol_nnz[j])):
+                u = upos[int(block_row[j, s])]
+                wg[u * bk:(u + 1) * bk, j * bn:(j + 1) * bn] = bl[j, s]
+        wg = jnp.asarray(wg)
+    else:
+        wg = jnp.zeros((len(live) * bk, ncols * bn), blocks.dtype)
+        for j in range(ncols):
+            for s in range(int(bcol_nnz[j])):
+                u = upos[int(block_row[j, s])]
+                wg = wg.at[u * bk:(u + 1) * bk, j * bn:(j + 1) * bn].set(
+                    blocks[j, s])
+    wg = wg.astype(x.dtype)
+
+    out = jax.lax.dot_general(
+        xg, wg, (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if aligned.bias is not None:
+        b = aligned.bias
+        if b.shape[0] < ncols * bn:
+            b = jnp.pad(b, (0, ncols * bn - b.shape[0]))
+        out = out + b
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(x.dtype)[..., :aligned.cout]
 
 
 def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),

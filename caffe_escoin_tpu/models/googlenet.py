@@ -23,9 +23,9 @@ _INCEPTION = [
 ]
 
 
-def _conv(name, bottom, cout, k, s=1, p=0, fuse_relu=True):
+def _conv(name, bottom, cout, k, s=1, p=0, fuse_relu=True, phase=None):
     t = "ConvolutionReLU" if fuse_relu else "Convolution"
-    return LayerSpec(name, t, (bottom,),
+    return LayerSpec(name, t, (bottom,), phase=phase,
                      params=dict(num_output=cout, kernel=k, stride=s, pad=p,
                                  weight_filler={"type": "xavier"}))
 
@@ -47,10 +47,37 @@ def _inception(name, bottom, cfg, fuse_relu=True):
     ]
 
 
+def _aux_head(idx, bottom, num_classes):
+    """Train-phase auxiliary classifier (loss1/loss2 at inception 4a/4d,
+    `models/bvlc_googlenet/train_val.prototxt:928,1691`): 5x5/s3 avg pool ->
+    1x1x128 conv -> fc1024 -> dropout 0.7 -> classifier, loss_weight 0.3."""
+    p = f"loss{idx}"
+    return [
+        LayerSpec(f"{p}/ave_pool", "Pooling", (bottom,), phase="train",
+                  params=dict(kernel=5, stride=3, mode="avg")),
+        _conv(f"{p}/conv", f"{p}/ave_pool", 128, 1, phase="train"),
+        LayerSpec(f"{p}/fc", "InnerProduct", (f"{p}/conv",), phase="train",
+                  params=dict(num_output=1024,
+                              weight_filler={"type": "xavier"})),
+        LayerSpec(f"{p}/relu_fc", "ReLU", (f"{p}/fc",), tops=(f"{p}/fcr",),
+                  phase="train"),
+        LayerSpec(f"{p}/drop_fc", "Dropout", (f"{p}/fcr",),
+                  tops=(f"{p}/fcd",), phase="train", params=dict(ratio=0.7)),
+        LayerSpec(f"{p}/classifier", "InnerProduct", (f"{p}/fcd",),
+                  phase="train",
+                  params=dict(num_output=num_classes,
+                              weight_filler={"type": "xavier"})),
+        LayerSpec(f"{p}/loss", "SoftmaxWithLoss",
+                  (f"{p}/classifier", "label"), phase="train",
+                  loss_weight=0.3),
+    ]
+
+
 def googlenet(num_classes: int = 1000, include_loss: bool = False,
               fuse_relu: bool = True):
-    """Inputs: data [N, 224, 224, 3] (+ label [N]). Main classifier only
-    (the reference's aux heads loss1/loss2 are train-time only)."""
+    """Inputs: data [N, 224, 224, 3] (+ label [N]). With include_loss the
+    train phase also carries the two auxiliary heads (loss1 at 4a, loss2 at
+    4d, weight 0.3 each) exactly like the reference train_val.prototxt."""
     specs = [
         _conv("conv1/7x7_s2", "data", 64, 7, s=2, p=3, fuse_relu=fuse_relu),
         LayerSpec("pool1/3x3_s2", "Pooling", ("conv1/7x7_s2",),
@@ -69,6 +96,10 @@ def googlenet(num_classes: int = 1000, include_loss: bool = False,
         name = cfg[0]
         specs += _inception(name, bottom, cfg, fuse_relu)
         bottom = f"inception_{name}/output"
+        if include_loss and name == "4a":
+            specs += _aux_head(1, bottom, num_classes)
+        elif include_loss and name == "4d":
+            specs += _aux_head(2, bottom, num_classes)
         if name == "3b":
             specs.append(LayerSpec("pool3/3x3_s2", "Pooling", (bottom,),
                                    params=dict(kernel=3, stride=2)))

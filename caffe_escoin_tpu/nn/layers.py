@@ -34,6 +34,19 @@ def _pair(v):
     return (v, v)
 
 
+def _ntuple(v, n):
+    """Caffe repeated-field semantics: scalar broadcasts to all spatial
+    dims; a length-1 list too; otherwise one entry per dim."""
+    if isinstance(v, (tuple, list)):
+        t = tuple(v)
+        if len(t) == 1:
+            return t * n
+        if len(t) != n:
+            raise ValueError(f"expected {n} spatial values, got {t}")
+        return t
+    return (v,) * n
+
+
 @register_layer("Input")
 class InputLayer(Layer):
     """Declares an externally-fed blob (input_layer.cpp)."""
@@ -51,33 +64,39 @@ class InputLayer(Layer):
 class ConvolutionLayer(Layer):
     """Mode-dispatched conv (conv_layer.cpp / base_conv_layer.cpp).
 
-    params keys: num_output, kernel (int or pair), stride, pad, dilation,
-    group, bias_term, weight_filler, bias_filler, fuse_relu.
+    params keys: num_output, kernel (int or per-dim list), stride, pad,
+    dilation, group, bias_term, weight_filler, bias_filler, fuse_relu.
+
+    N-D: a rank-(2+n) input [N, *spatial, C] runs an n-spatial-dim dense
+    convolution (the reference's `im2col_nd_*` path,
+    `src/caffe/util/im2col.cpp:141+`; 3-D cases in
+    `test_convolution_layer.cpp`). Sparse execution is 2-D only, exactly
+    like the reference's sconv kernels.
     """
 
     category = "conv"
 
-    def _conf(self, cin):
+    def _conf(self, in_shape):
         p = self.p
-        kh, kw = _pair(p.get("kernel", 3))
+        nsp = len(in_shape) - 2
         return dict(
-            kernel=(kh, kw),
-            stride=_pair(p.get("stride", 1)),
-            pad=_pair(p.get("pad", 0)),
-            dilation=_pair(p.get("dilation", 1)),
+            nsp=nsp,
+            kernel=_ntuple(p.get("kernel", 3), nsp),
+            stride=_ntuple(p.get("stride", 1), nsp),
+            pad=_ntuple(p.get("pad", 0), nsp),
+            dilation=_ntuple(p.get("dilation", 1), nsp),
             groups=p.get("group", 1),
             cout=p["num_output"],
             bias=p.get("bias_term", True),
-            cin=cin,
+            cin=in_shape[-1],
         )
 
     def init_params(self, rng, in_shapes):
-        c = self._conf(in_shapes[0][-1])
-        kh, kw = c["kernel"]
+        c = self._conf(in_shapes[0])
         cin_g = c["cin"] // c["groups"]
         r1, r2 = jax.random.split(rng)
-        fan_in = kh * kw * cin_g
-        w = fill(r1, (kh, kw, cin_g, c["cout"]),
+        fan_in = int(np.prod(c["kernel"])) * cin_g
+        w = fill(r1, tuple(c["kernel"]) + (cin_g, c["cout"]),
                  self.p.get("weight_filler", {"type": "xavier"}), fan_in=fan_in)
         params = {"w": w}
         if c["bias"]:
@@ -88,6 +107,8 @@ class ConvolutionLayer(Layer):
     def align(self, params):
         if isinstance(params, AlignedConvWeight):
             return params
+        if params["w"].ndim != 4:
+            return params  # N-D conv: dense path only (as in the reference)
         return weight_align(
             params["w"], params.get("b"), groups=self.p.get("group", 1),
             policy=self.policy,
@@ -95,7 +116,7 @@ class ConvolutionLayer(Layer):
 
     def apply(self, params, inputs, *, train, rng):
         (x,) = inputs
-        c = self._conf(x.shape[-1])
+        c = self._conf(x.shape)
         fuse_relu = self.p.get("fuse_relu", False) and self.policy.fuse_relu
         cd = self.policy.compute_dtype
         in_dtype = x.dtype
@@ -109,7 +130,13 @@ class ConvolutionLayer(Layer):
                 else l,
                 params,
             )
-        if isinstance(params, AlignedConvWeight):
+        if c["nsp"] != 2:
+            out = conv_ops.convnd_dense(
+                x, params["w"], params.get("b"), stride=c["stride"],
+                padding=c["pad"], dilation=c["dilation"], groups=c["groups"],
+                relu=fuse_relu,
+            )
+        elif isinstance(params, AlignedConvWeight):
             out = conv_ops.conv2d(
                 x, params, stride=c["stride"], padding=c["pad"],
                 dilation=c["dilation"], relu=fuse_relu, policy=self.policy,
@@ -208,6 +235,8 @@ class PoolingLayer(Layer):
                 padding=_pair(p.get("pad", 0)),
                 mode=p.get("mode", "max"),
                 ceil_mode=p.get("ceil_mode", True),
+                train=train,
+                rng=rng,
             )
         ]
 

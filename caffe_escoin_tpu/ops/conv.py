@@ -94,6 +94,33 @@ def conv2d_dense(x, w_hwio, bias=None, *, stride=(1, 1), padding=(0, 0),
     return _epilogue(out, bias, relu)
 
 
+def convnd_dense(x, w, bias=None, *, stride=None, padding=None,
+                 dilation=None, groups=1, relu=False):
+    """Dense N-D convolution, any spatial rank (1-D/3-D/...).
+
+    The TPU analogue of the reference's `im2col_nd_*` dense path
+    (`src/caffe/util/im2col.cpp:141+`, exercised by the 3-D cases of
+    `src/caffe/test/test_convolution_layer.cpp`): XLA's conv handles N
+    spatial dims natively, no materialized columns. x: [N, *S, Cin],
+    w: [*K, Cin/g, Cout] -> [N, *So, Cout]. Sparse execution stays 2-D
+    (as in the reference, whose sconv kernels are 2-D only)."""
+    nsp = x.ndim - 2
+    if w.ndim != nsp + 2:
+        raise ValueError(f"weight rank {w.ndim} does not match input "
+                         f"spatial rank {nsp}")
+    letters = "TZDHW"[5 - nsp:]
+    lhs = "N" + letters + "C"
+    rhs = letters + "IO"
+    stride = tuple(stride or (1,) * nsp)
+    padding = [(p, p) for p in (padding or (0,) * nsp)]
+    dilation = tuple(dilation or (1,) * nsp)
+    out = lax.conv_general_dilated(
+        x, w, stride, padding, rhs_dilation=dilation,
+        dimension_numbers=(lhs, rhs, lhs), feature_group_count=groups,
+    )
+    return _epilogue(out, bias, relu)
+
+
 def conv2d_lowered_sparse(x, aligned: AlignedConvWeight, *, stride, padding,
                           dilation, relu, policy: ExecutionPolicy):
     """im2col + SpMM over the sparse GEMM-view weight."""
@@ -146,8 +173,19 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
     # the sparsity pattern concrete at trace time (aligned weights closed
     # over — the standard inference deployment).
     if xla_block_sparse.supported(aligned, policy):
+        arm = xla_block_sparse.best_arm(aligned, policy)
+        if arm == "dense":
+            # write-bound full-union expand-1x1: XLA's dense conv IS the
+            # ceiling (see xla_block_sparse.best_arm)
+            return conv2d_dense(
+                x, aligned.dense.astype(x.dtype), aligned.bias,
+                stride=stride, padding=padding, dilation=dilation,
+                groups=aligned.groups, relu=relu).astype(x.dtype)
+        conv_fn = (xla_block_sparse.conv_gathered if arm == "gathered"
+                   else xla_block_sparse.conv)
+
         def _xbsp(y):
-            return xla_block_sparse.conv(
+            return conv_fn(
                 y, aligned, stride=stride, padding=padding,
                 dilation=dilation, relu=relu)
 

@@ -12,6 +12,7 @@ because the model zoo shapes depend on them:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -26,9 +27,33 @@ def _pooled_size(size, k, s, p, ceil_mode):
     return out
 
 
+def _pool_patches(x, kernel, stride, padding, ho, wo):
+    """[N,H,W,C] -> [N,Ho,Wo,C,kh*kw] window patches (zero-padded edges)."""
+    kh, kw = kernel
+    sh, sw = stride
+    ph, pw = padding
+    n, h, w, c = x.shape
+    pad_h2 = max(0, (ho - 1) * sh + kh - h - ph)
+    pad_w2 = max(0, (wo - 1) * sw + kw - w - pw)
+    xp = jnp.pad(x, ((0, 0), (ph, pad_h2), (pw, pad_w2), (0, 0)))
+    pats = [
+        xp[:, i : i + (ho - 1) * sh + 1 : sh, j : j + (wo - 1) * sw + 1 : sw]
+        for i in range(kh)
+        for j in range(kw)
+    ]
+    return jnp.stack(pats, axis=-1)
+
+
 def pool2d(x, kernel, *, stride=None, padding=(0, 0), mode="max",
-           ceil_mode=True, global_pool=False):
-    """x: [N, H, W, C] -> [N, Ho, Wo, C]."""
+           ceil_mode=True, global_pool=False, train=False, rng=None):
+    """x: [N, H, W, C] -> [N, Ho, Wo, C].
+
+    ``mode="stochastic"`` implements the reference's stochastic pooling
+    (`pooling_layer.cpp:119,221`, Zeiler-Fergus): in train mode each window
+    samples one element with probability proportional to its (non-negative)
+    activation, in test mode it outputs the activation-weighted average
+    sum(a^2)/sum(a) (0 for all-zero windows). Train mode needs ``rng``.
+    """
     n, h, w, c = x.shape
     if global_pool:
         kernel, stride, padding = (h, w), (1, 1), (0, 0)
@@ -56,6 +81,30 @@ def pool2d(x, kernel, *, stride=None, padding=(0, 0), mode="max",
         out = lax.reduce_window(
             xp, 0.0, lax.add, (1, kh, kw, 1), (1, sh, sw, 1), "VALID"
         ) / float(kh * kw)
+    elif mode == "stochastic":
+        pats = _pool_patches(x, (kh, kw), (sh, sw), (ph, pw), ho, wo)
+        total = jnp.sum(pats, axis=-1)
+        if train:
+            if rng is None:
+                raise ValueError("stochastic pooling in train mode needs rng")
+            # threshold r ~ U(0, sum); pick the first window element whose
+            # cumulative sum crosses it (pooling_layer.cpp:119-160)
+            r = jax.random.uniform(rng, total.shape, dtype=x.dtype) * total
+            cum = jnp.cumsum(pats, axis=-1)
+            ge = cum > r[..., None]
+            first = jnp.logical_and(
+                ge,
+                jnp.logical_not(
+                    jnp.concatenate(
+                        [jnp.zeros_like(ge[..., :1]), ge[..., :-1]], axis=-1)
+                ),
+            )
+            out = jnp.sum(pats * first.astype(pats.dtype), axis=-1)
+        else:
+            safe = jnp.where(total > 0, total, 1.0)
+            out = jnp.where(total > 0,
+                            jnp.sum(pats * pats, axis=-1) / safe, 0.0)
+        return out
     else:
         raise ValueError(f"unknown pool mode {mode!r}")
     return out[:, :ho, :wo, :]

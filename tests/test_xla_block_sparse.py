@@ -145,3 +145,42 @@ def test_linear_sparse_routes_to_xbsp():
     assert out.shape == (3, 2, 48)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_arm_dispatch_rules():
+    """best_arm: unroll for k>1 / reduce-1x1; gathered for expand-1x1;
+    dense for full-union expand-1x1 with MXU-filling cin (the profiled
+    write-bound regime)."""
+    rng = np.random.default_rng(5)
+    pol = ExecutionPolicy(block_shape=(128, 128))
+
+    def align(cin, cout, k, sp):
+        w = prune_conv_weight(
+            rng.standard_normal((k, k, cin, cout)).astype(np.float32), sp,
+            (128, 128))
+        return weight_align(w, None, policy=pol)
+
+    assert xla_block_sparse.best_arm(align(256, 256, 3, 0.9), pol) == "unroll"
+    assert xla_block_sparse.best_arm(align(256, 128, 1, 0.5), pol) == "unroll"
+    a = align(128, 512, 1, 0.5)  # K = one 128-block -> union is always full
+    assert xla_block_sparse.union_live_fraction(a) == 1.0
+    assert xla_block_sparse.best_arm(a, pol) == "dense"
+    assert xla_block_sparse.best_arm(
+        a, pol.replace(xbsp_arm="gathered")) == "gathered"
+
+
+@pytest.mark.parametrize("arm", ["unroll", "gathered", "auto"])
+def test_all_arms_match_oracle_through_dispatch(arm):
+    rng = np.random.default_rng(6)
+    pol = ExecutionPolicy(block_shape=(128, 128), xbsp_arm=arm)
+    w = prune_conv_weight(
+        rng.standard_normal((1, 1, 128, 256)).astype(np.float32) * 0.1,
+        0.75, (128, 128))
+    al = weight_align(w, None, policy=pol)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 128)).astype(np.float32))
+    out = conv_ops.conv2d(x, al, mode=ConvMode.SCONV_PAR, policy=pol)
+    ref = lax.conv_general_dilated(
+        x, jnp.asarray(w), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
