@@ -1,32 +1,46 @@
-"""Benchmark: ResNet-50 sparse-conv speedup vs dense XLA conv at 90% block
-sparsity on one TPU chip (BASELINE north-star metric; target >= 2x).
+"""Benchmark: sparse-conv speedup vs dense XLA conv on one TPU chip.
 
-Method: enumerate ResNet-50's conv layers (from the model spec itself, with
-shapes from Net shape inference), group into unique (H, W, Cin, Cout, K,
-stride) configs with occurrence counts, and for every sparse-eligible config
-(stride 1 — the SCONV kernel's domain; stride-2 layers run dense in both
-frameworks, exactly like the reference's fallback at base_conv_layer.cpp:752)
-measure:
+Per-layer mode (default): enumerate the model's conv layers (from the model
+spec itself, with shapes from Net shape inference), group into unique (H, W,
+Cin, Cout, K, stride) configs with occurrence counts, and for EVERY
+sparse-eligible config (stride 1 — the SCONV kernel's domain; stride-2 layers
+run dense in both frameworks, exactly like the reference's fallback at
+base_conv_layer.cpp:752) measure THREE arms:
 
-  * t_dense : XLA `lax.conv_general_dilated`
-  * t_sparse: the Pallas direct sparse conv kernel (90% block-sparse weight)
+  * t_dense_f32 : XLA `lax.conv_general_dilated`, f32 in/out (what a stock
+                  f32 model gets — the reference methodology's baseline,
+                  cuDNN IMPLICIT_GEMM f32, `esc_conv_layer.cu:27`)
+  * t_dense_bf16: the same conv with bf16 activations+weights — the
+                  byte-honest baseline (bf16 halves HBM traffic; several
+                  ResNet shapes are bandwidth-bound)
+  * t_sparse    : the framework's sparse executor (dispatcher-selected XBSP
+                  arm, bf16 activations), weights closed over
 
-with slope timing (utils/benchmark.py) that cancels this environment's fixed
-per-dispatch overhead and defeats XLA DCE by chaining same-shape outputs.
+with device-timeline timing (utils/benchmark.py) from the XLA profiler.
 
 Reported metric: FLOP-weighted total conv-time speedup over all measured
-layers (weighted by per-layer occurrence count x dense time), i.e. the
-conv-bucket speedup the reference's instrumentation would report
-(`tools/caffe.cpp:338-367`). vs_baseline normalizes against the 2.0x target.
+layers (weighted by per-layer occurrence count), i.e. the conv-bucket speedup
+the reference's instrumentation reports (`tools/caffe.cpp:338-367`). The
+HEADLINE value is the speedup vs the bf16 dense baseline (the strict
+comparison); vs_f32 is also reported. vs_baseline normalizes against the
+2.0x BASELINE target.
+
+Whole-net mode (--e2e): times the full jitted `Net.inference_fn` —
+dense-f32 vs dense-bf16 vs sparse (conv AND fc weights pruned + aligned,
+SCONV_PAR policy) — and a per-layer conv/fc/data/other bucket split.
+
+--granularity unstructured prunes element-wise (the reference's pruned-model
+workload, `run.sh:3-5`) instead of 128x128 blocks; measured honestly (at 90%
+random element sparsity virtually no MXU block is empty, so expect ~1x — see
+docs/PERFORMANCE.md "Unstructured sparsity on TPU").
 
 Prints ONE JSON line on stdout; human-readable detail goes to stderr.
+--jsonl FILE appends one JSON row per measured layer for the record.
 """
 
 import argparse
 import json
 import sys
-
-import numpy as np
 
 
 def log(msg):
@@ -34,7 +48,7 @@ def log(msg):
 
 
 def conv_configs(model, batch):
-    """Unique conv configs (h, w, cin, cout, k, stride, pad) -> count,
+    """Unique conv configs (h, w, cin, cout, k, stride, pad, group) -> count,
     derived from the model spec + shape inference."""
     import jax
 
@@ -58,33 +72,18 @@ def conv_configs(model, batch):
     return configs
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--smoke", action="store_true", help="2 shapes, quick")
-    ap.add_argument("--model", default="resnet50",
-                    help="any ZOO model (resnet50 is the headline config; "
-                         "alexnet/googlenet/vgg16 for the BASELINE sweeps)")
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--sparsity", type=float, default=0.9)
-    ap.add_argument("--n1", type=int, default=30)
-    ap.add_argument("--n2", type=int, default=230)
-    ap.add_argument("--layers", type=int, default=8,
-                    help="measure top-N configs by FLOP share")
-    ap.add_argument("--repeats", type=int, default=20)
-    args = ap.parse_args()
-
+def run_per_layer(args):
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from caffe_escoin_tpu.engine.context import ExecutionPolicy
-    from caffe_escoin_tpu.kernels import sconv_fused, sconv_pallas
     from caffe_escoin_tpu.ops import conv as conv_ops
     from caffe_escoin_tpu.sparse.weight_align import weight_align
     from caffe_escoin_tpu.utils.benchmark import device_time, row_major_format
     from caffe_escoin_tpu.utils.pruning import prune_conv_weight
 
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     configs = conv_configs(args.model, args.batch)
     # sparse-eligible: stride 1, cin >= 64 (conv1's 3-channel input is dense
     # in both frameworks)
@@ -99,16 +98,22 @@ def main():
         return count * 2 * h * w * cin * cout * k * k / (s_ * s_) / g_
 
     items = sorted(eligible.items(), key=lambda kv: -flops_of(*kv))
-    cover = sum(flops_of(*kv) for kv in items[: args.layers]) / max(
-        1, sum(flops_of(*kv) for kv in items))
-    items = items[: 2 if args.smoke else args.layers]
+    if args.smoke:
+        items = items[:2]
+    elif args.layers:
+        items = items[: args.layers]
+    cover = sum(flops_of(*kv) for kv in items) / max(
+        1, sum(flops_of(*kv) for kv in eligible.items()))
     log(f"measuring {len(items)} configs covering {cover:.0%} of eligible "
-        f"conv FLOPs")
+        f"conv FLOPs ({args.granularity} pruning @ "
+        f"{args.sparsity:.0%})")
 
     rng = np.random.default_rng(0)
     policy = ExecutionPolicy(block_shape=(128, 128), spmm_tile_m=512)
+    block = (128, 128) if args.granularity == "block" else None
+    rm = row_major_format(4)
     rows = []
-    total_dense = total_sparse = 0.0
+    tot = {"f32": 0.0, "bf16": 0.0, "sp": 0.0}
     total_nnz_work = 0.0
     for (h, w, cin, cout, k, s, p, g), count in items:
         x = jnp.asarray(
@@ -116,28 +121,24 @@ def main():
             * 0.1)
         wt = rng.standard_normal((k, k, cin // g, cout)).astype(
             np.float32) * 0.05
-        wp = prune_conv_weight(wt, args.sparsity, (128, 128))
+        wp = prune_conv_weight(wt, args.sparsity, block)
         aligned = weight_align(wp, None, groups=g, policy=policy)
         wj = jnp.asarray(wp)
+        wb = wj.astype(jnp.bfloat16)
+        xb = x.astype(jnp.bfloat16)
         pad = (p, p)
 
-        def dense(y):
+        def dense_f32(y):
             return lax.conv_general_dilated(
                 y, wj, (s, s), [pad, pad],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=g)
 
-        if not (sconv_fused.supported(x, aligned, pad, policy)
-                or sconv_pallas.supported(x, aligned, policy)):
-            log(f"  {h}x{w}x{cin}->{cout} k{k}: sconv unsupported, skipping")
-            continue
-
-        # The sparse engine's steady-state operating point: bf16
-        # activations (the same numeric XLA's DEFAULT-precision dense conv
-        # uses for its MXU multiplies) flowing kernel-to-kernel in row-major
-        # NHWC. The dense baseline keeps its own preferred f32/auto-layout
-        # configuration; err below is checked against the f32 dense oracle.
-        xb = x.astype(jnp.bfloat16)
+        def dense_bf16(y):
+            return lax.conv_general_dilated(
+                y, wb, (s, s), [pad, pad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=g)
 
         def sparse(y):
             return conv_ops.conv2d_sconv(y, aligned, stride=(s, s),
@@ -145,48 +146,207 @@ def main():
                                          relu=False, policy=policy,
                                          batch_parallel=True)
 
+        if aligned.bsc is None:
+            log(f"  {h}x{w} {cin}->{cout} k{k}: below sparse threshold, "
+                f"dense in both — skipping")
+            continue
+
         # correctness guard (bf16 activations vs f32 oracle -> bf16-scale
         # tolerance; XLA's own default-precision dense shows the same error
         # magnitude vs a highest-precision reference)
         err = float(jnp.max(jnp.abs(
-            sparse(xb).astype(jnp.float32) - dense(x))))
-        td = device_time(dense, x, iters=args.repeats)
-        # XLA's entry-layout choice for the sparse jit differs per shape;
-        # measure both the default and the forced row-major boundary and
-        # keep the better (a per-layer deployment decision, same spirit as
-        # the reference's per-shape kernel dispatch)
+            sparse(xb).astype(jnp.float32) - dense_f32(x))))
+        tf = device_time(dense_f32, x, iters=args.repeats)
+        tb = device_time(dense_bf16, xb, iters=args.repeats)
+        # XLA's entry-layout choice differs per shape; measure both the
+        # default and the forced row-major boundary and keep the better (a
+        # per-layer deployment decision, same spirit as the reference's
+        # per-shape kernel dispatch)
         ts = min(device_time(sparse, xb, iters=args.repeats),
-                 device_time(sparse, xb, iters=args.repeats,
-                             out_format=row_major_format(4)))
+                 device_time(sparse, xb, iters=args.repeats, out_format=rm))
         flops = 2 * args.batch * h * w * cin * cout * k * k / (s * s)
         nnz = aligned.stats.nnz
         out_pix = args.batch * (h // s) * (w // s)
-        rows.append((h, w, cin, cout, k, count, td, ts, err))
-        total_dense += td * count
-        total_sparse += ts * count
+        rows.append(dict(h=h, w=w, cin=cin, cout=cout, k=k, count=count,
+                         t_dense_f32_us=round(tf * 1e6, 2),
+                         t_dense_bf16_us=round(tb * 1e6, 2),
+                         t_sparse_us=round(ts * 1e6, 2),
+                         speedup_vs_f32=round(tf / ts, 3),
+                         speedup_vs_bf16=round(tb / ts, 3),
+                         err=err, sparsity=args.sparsity,
+                         granularity=args.granularity, model=args.model,
+                         batch=args.batch, flops=flops, nnz=nnz))
+        tot["f32"] += tf * count
+        tot["bf16"] += tb * count
+        tot["sp"] += ts * count
         total_nnz_work += nnz * out_pix * count
         log(f"  {h:3d}x{w:3d} {cin:4d}->{cout:4d} k{k} x{count}: "
-            f"dense {td*1e6:7.1f}us sparse {ts*1e6:7.1f}us "
-            f"speedup {td/ts:5.2f}x err {err:.1e}")
+            f"f32 {tf*1e6:7.1f}us bf16 {tb*1e6:7.1f}us "
+            f"sparse {ts*1e6:7.1f}us  vs_f32 {tf/ts:5.2f}x "
+            f"vs_bf16 {tb/ts:5.2f}x err {err:.1e}")
 
+    gran = "" if args.granularity == "block" else "_unstructured"
     metric = (f"{args.model}_sparse_conv_speedup_"
-              f"{int(round(args.sparsity * 100))}")
-    if not rows or total_sparse <= 0:
+              f"{int(round(args.sparsity * 100))}{gran}")
+    if not rows or tot["sp"] <= 0:
         print(json.dumps({"metric": metric,
                           "value": 0.0, "unit": "x", "vs_baseline": 0.0}))
         return
+    if args.jsonl:
+        with open(args.jsonl, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
 
-    speedup = total_dense / total_sparse
-    gnnz_s = total_nnz_work / total_sparse / 1e9
-    log(f"TOTAL: dense {total_dense*1e3:.2f}ms sparse {total_sparse*1e3:.2f}ms "
-        f"-> speedup {speedup:.2f}x  ({gnnz_s:.1f} Gnnz/s)")
+    sp_bf16 = tot["bf16"] / tot["sp"]
+    sp_f32 = tot["f32"] / tot["sp"]
+    gnnz_s = total_nnz_work / tot["sp"] / 1e9
+    log(f"TOTAL: f32 {tot['f32']*1e3:.2f}ms bf16 {tot['bf16']*1e3:.2f}ms "
+        f"sparse {tot['sp']*1e3:.2f}ms -> vs_f32 {sp_f32:.2f}x "
+        f"vs_bf16 {sp_bf16:.2f}x ({gnnz_s:.1f} Gnnz/s)")
     print(json.dumps({
         "metric": metric,
-        "value": round(speedup, 3),
-        "unit": "x_vs_dense_xla_conv",
-        "vs_baseline": round(speedup / 2.0, 3),
+        "value": round(sp_bf16, 3),
+        "unit": "x_vs_dense_bf16_xla_conv",
+        "vs_baseline": round(sp_bf16 / 2.0, 3),
+        "speedup_vs_dense_f32": round(sp_f32, 3),
         "gnnz_per_s": round(gnnz_s, 1),
     }))
+
+
+def run_e2e(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.engine.context import ConvMode, ExecutionPolicy
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.nn import Net
+    from caffe_escoin_tpu.utils.benchmark import device_time
+    from caffe_escoin_tpu.utils.pruning import prune_conv_weight, prune_blocks
+
+    builder, input_shapes = ZOO[args.model]
+    block = (128, 128) if args.granularity == "block" else None
+
+    def build(policy, dtype):
+        net = Net(builder(), policy=policy, phase="test")
+        shapes = {"data": (args.batch,) + tuple(input_shapes["data"][1:])}
+        params = net.init(jax.random.PRNGKey(0), shapes)
+        return net, shapes, params
+
+    pol_dense = ExecutionPolicy()
+    pol_dense_bf16 = ExecutionPolicy(compute_dtype=jnp.bfloat16)
+    pol_sparse = ExecutionPolicy(conv_mode=ConvMode.SCONV_PAR,
+                                 block_shape=(128, 128),
+                                 compute_dtype=jnp.bfloat16)
+    net_d, shapes, params = build(pol_dense, None)
+    net_db, _, _ = build(pol_dense_bf16, None)
+    net_s, _, _ = build(pol_sparse, None)
+
+    # prune conv AND fc weights (the fc bucket matters for AlexNet/VGG —
+    # `tools/caffe.cpp:338-367` reports it first-class)
+    pruned = dict(params)
+    for layer in net_s.layers:
+        n = layer.spec.name
+        if n not in pruned:
+            continue
+        q = dict(pruned[n])
+        if layer.spec.type in ("Convolution", "ConvolutionReLU"):
+            w = np.asarray(q["w"])
+            if w.shape[0] * w.shape[1] * w.shape[2] < 32:
+                continue  # conv1's 3-channel input: dense in both
+            q["w"] = jnp.asarray(prune_conv_weight(w, args.sparsity, block))
+        elif layer.spec.type == "InnerProduct":
+            w = np.asarray(q["w"])
+            if block is None:
+                from caffe_escoin_tpu.utils.pruning import prune_magnitude
+                q["w"] = jnp.asarray(prune_magnitude(w, args.sparsity))
+            else:
+                q["w"] = jnp.asarray(prune_blocks(w, args.sparsity, block))
+        else:
+            continue
+        pruned[n] = q
+
+    aligned = net_s.weight_align(pruned)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        shapes["data"]).astype(np.float32) * 0.1)
+
+    fwd_d = net_d.inference_fn(params)
+    fwd_db = net_db.inference_fn(params)
+    fwd_s = net_s.inference_fn(aligned)
+
+    def first(out):
+        return out[next(iter(out))]
+
+    td = device_time(lambda y: first(fwd_d({"data": y})), x, iters=args.repeats)
+    tdb = device_time(lambda y: first(fwd_db({"data": y})), x,
+                      iters=args.repeats)
+    ts = device_time(lambda y: first(fwd_s({"data": y})), x,
+                     iters=args.repeats)
+    log(f"e2e {args.model} batch {args.batch}: dense-f32 {td*1e3:.2f}ms "
+        f"dense-bf16 {tdb*1e3:.2f}ms sparse {ts*1e3:.2f}ms "
+        f"-> vs_f32 {td/ts:.2f}x vs_bf16 {tdb/ts:.2f}x")
+
+    # conv/fc/other bucket split (reference `net.cpp:516-565`): per-layer
+    # isolated device timing over real blob shapes
+    buckets = {}
+    if args.buckets:
+        from caffe_escoin_tpu.utils.timing import time_net_layerwise
+        rep_s = time_net_layerwise(net_s, aligned, {"data": x}, iters=3)
+        rep_d = time_net_layerwise(net_d, params, {"data": x}, iters=3)
+        for name, rep in (("sparse", rep_s), ("dense", rep_d)):
+            buckets[name] = {k: round(v, 3)
+                             for k, v in rep["categories"].items()}
+            log(f"  {name} buckets (ms): {buckets[name]}")
+
+    gran = "" if args.granularity == "block" else "_unstructured"
+    result = {
+        "metric": (f"{args.model}_e2e_speedup_"
+                   f"{int(round(args.sparsity * 100))}{gran}"),
+        "value": round(tdb / ts, 3),
+        "unit": "x_vs_dense_bf16_e2e",
+        "vs_baseline": round((tdb / ts) / 2.0, 3),
+        "speedup_vs_dense_f32": round(td / ts, 3),
+        "t_dense_f32_ms": round(td * 1e3, 3),
+        "t_dense_bf16_ms": round(tdb * 1e3, 3),
+        "t_sparse_ms": round(ts * 1e3, 3),
+    }
+    if buckets:
+        result["buckets_ms"] = buckets
+    if args.jsonl:
+        with open(args.jsonl, "a") as f:
+            f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="2 shapes, quick")
+    ap.add_argument("--model", default="resnet50",
+                    help="any ZOO model (resnet50 is the headline config; "
+                         "alexnet/googlenet/vgg16 for the BASELINE sweeps)")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--sparsity", type=float, default=0.9)
+    ap.add_argument("--layers", type=int, default=0,
+                    help="measure top-N configs by FLOP share (0 = all)")
+    ap.add_argument("--repeats", type=int, default=20)
+    ap.add_argument("--granularity", choices=["block", "unstructured"],
+                    default="block")
+    ap.add_argument("--e2e", action="store_true",
+                    help="whole-net Net.inference_fn timing instead of "
+                         "per-layer conv configs")
+    ap.add_argument("--buckets", action="store_true",
+                    help="with --e2e: also report conv/fc/other bucket split")
+    ap.add_argument("--jsonl", default="",
+                    help="append per-layer measurement rows to this file")
+    args = ap.parse_args()
+
+    import jax
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    if args.e2e:
+        run_e2e(args)
+    else:
+        run_per_layer(args)
 
 
 if __name__ == "__main__":

@@ -70,6 +70,20 @@ class Solver:
         self._losses = []
         self._step_fn = None
         self.reg_overrides = reg_overrides
+        self.param_masks = None
+
+    # ------------------------------------------------------------------
+    def set_param_masks(self, masks) -> None:
+        """Pin pruned weights at zero during training (masked fine-tuning).
+
+        This is how the framework *produces* the sparse models the
+        reference consumed pre-made from GESL/SkimCaffe (`run.sh:3-5`):
+        magnitude-prune, then fine-tune with the zero pattern frozen. The
+        mask (a 0/1 pytree congruent with params; utils.pruning.masks_of)
+        is applied inside the jitted step right after the solver update.
+        """
+        self.param_masks = masks
+        self._step_fn = None  # rebuild with the mask closed over
 
     # ------------------------------------------------------------------
     def init(self, input_shapes: Dict[str, tuple]):
@@ -115,6 +129,10 @@ class Solver:
             new_params, new_state = solvers.update(
                 cfg, params, grads, state, lr, it
             )
+            if self.param_masks is not None:
+                new_params = jax.tree_util.tree_map(
+                    lambda p, m: p * m, new_params, self.param_masks
+                )
             return new_params, new_state, new_net_state, loss / cfg.iter_size
 
         return jax.jit(step)

@@ -3,6 +3,7 @@ from caffe_escoin_tpu.models import alexnet, caffenet, cifar, googlenet, lenet, 
 ZOO = {
     "lenet": (lenet.lenet5, lenet.INPUT_SHAPES),
     "cifar10_quick": (cifar.cifar10_quick, cifar.INPUT_SHAPES),
+    "cifar10_bn": (cifar.cifar10_bn, cifar.INPUT_SHAPES),
     "alexnet": (alexnet.alexnet, alexnet.INPUT_SHAPES),
     "vgg16": (vgg.vgg16, vgg.INPUT_SHAPES),
     "googlenet": (googlenet.googlenet, googlenet.INPUT_SHAPES),

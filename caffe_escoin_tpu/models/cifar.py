@@ -44,4 +44,44 @@ def cifar10_quick(num_classes: int = 10, include_loss: bool = False):
     return specs
 
 
+def cifar10_bn(num_classes: int = 10, include_loss: bool = False):
+    """The reference's BatchNorm CIFAR variant
+    (`examples/cifar10/cifar10_full_sigmoid_train_test_bn.prototxt`):
+    conv -> pool -> BatchNorm -> Scale -> activation stacks. The net that
+    exercises the train-mode moving-average state channel end-to-end
+    (Net.init_with_state / Solver.net_state). Inputs: data [N, 32, 32, 3]."""
+    def block(i, bottom, cout, act="ReLU"):
+        return [
+            LayerSpec(f"conv{i}", "Convolution", (bottom,),
+                      params=dict(num_output=cout, kernel=5, pad=2,
+                                  weight_filler={"type": "gaussian",
+                                                 "std": 0.01})),
+            LayerSpec(f"pool{i}", "Pooling", (f"conv{i}",),
+                      params=dict(kernel=3, stride=2,
+                                  mode="max" if i == 1 else "avg")),
+            LayerSpec(f"bn{i}", "BatchNorm", (f"pool{i}",)),
+            LayerSpec(f"scale{i}", "Scale", (f"bn{i}",),
+                      params=dict(bias_term=True)),
+            LayerSpec(f"act{i}", act, (f"scale{i}",), tops=(f"act{i}o",)),
+        ]
+
+    specs = (block(1, "data", 32) + block(2, "act1o", 32)
+             + block(3, "act2o", 64))
+    specs += [
+        LayerSpec("ip1", "InnerProduct", ("act3o",),
+                  params=dict(num_output=num_classes,
+                              weight_filler={"type": "gaussian",
+                                             "std": 0.01})),
+    ]
+    if include_loss:
+        specs += [
+            LayerSpec("loss", "SoftmaxWithLoss", ("ip1", "label")),
+            LayerSpec("accuracy", "Accuracy", ("ip1", "label"),
+                      phase="test"),
+        ]
+    else:
+        specs += [LayerSpec("prob", "Softmax", ("ip1",))]
+    return specs
+
+
 INPUT_SHAPES = {"data": (64, 32, 32, 3)}

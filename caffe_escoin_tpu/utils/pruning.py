@@ -96,3 +96,20 @@ def prune_conv_weight(w_hwio, sparsity: float, block_shape=None):
 def sparsity_of(w) -> float:
     w = np.asarray(w)
     return float((w == 0).mean())
+
+
+def masks_of(params, keys=("w",)):
+    """0/1 pytree for Solver.set_param_masks: the nonzero pattern of every
+    leaf whose dict key is in ``keys`` (the pruned weights), all-ones
+    elsewhere (biases, norms — a zero-initialized bias must stay free to
+    move, so it is never pattern-masked)."""
+    import jax
+
+    def rec(node, masked):
+        if isinstance(node, dict):
+            return {k: rec(v, masked or k in keys) for k, v in node.items()}
+        return jax.tree_util.tree_map(
+            lambda l: (np.asarray(l) != 0).astype(np.float32) if masked
+            else np.ones(np.shape(l), np.float32), node)
+
+    return rec(params, False)

@@ -1,0 +1,260 @@
+"""End-to-end real-data experiment: train → prune → fine-tune → sparse
+inference accuracy parity (BASELINE configs 1-2; the analogue of the
+reference's `run.sh:3-20`, which scored pruned SkimCaffe models against
+their dense runs).
+
+Dataset: scikit-learn's bundled handwritten-digits set (1,797 real 8x8
+images, 10 classes) — the only real image dataset available offline in this
+environment (no network egress; the reference's get_mnist.sh/get_cifar10.sh
+download). Images are nearest-neighbor upscaled to the model's input size.
+The pipeline is the framework's own end to end: `.cerec` database →
+prefetching Data source → jitted Solver (BatchNorm state channel for the bn
+model) → magnitude pruning (block AND unstructured) → masked fine-tuning →
+`weight_align` → sparse `inference_fn` scoring.
+
+Usage:
+    python examples/train_eval_sparse.py --model lenet --iters 600
+    python examples/train_eval_sparse.py --model cifar10_bn --iters 800
+
+Writes a markdown results table to --report (default stdout) and a JSON
+blob next to it.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+# runnable from anywhere: the package lives at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def load_digits_upscaled(size, channels):
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    imgs = d.images.astype(np.float32) / 16.0  # [1797, 8, 8] in [0,1]
+    reps = size // 8
+    imgs = np.kron(imgs, np.ones((1, reps, reps), np.float32))
+    pad = size - imgs.shape[1]
+    if pad:
+        imgs = np.pad(imgs, ((0, 0), (pad // 2, pad - pad // 2),
+                             (pad // 2, pad - pad // 2)))
+    imgs = imgs[..., None]
+    if channels > 1:
+        imgs = np.repeat(imgs, channels, axis=-1)
+    labels = d.target.astype(np.int32)
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(imgs))
+    imgs, labels = imgs[order], labels[order]
+    n_test = 256
+    return (imgs[n_test:], labels[n_test:]), (imgs[:n_test], labels[:n_test])
+
+
+def batch_iter(data, labels, batch, *, seed=0, train=True):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    n = len(data)
+    while True:
+        idx = rng.integers(0, n, batch) if train else None
+        if train:
+            yield {"data": jnp.asarray(data[idx]),
+                   "label": jnp.asarray(labels[idx])}
+        else:
+            for i in range(0, n - batch + 1, batch):
+                yield {"data": jnp.asarray(data[i:i + batch]),
+                       "label": jnp.asarray(labels[i:i + batch])}
+
+
+def evaluate(net, params, net_state, data, labels, batch=64):
+    """Test-phase accuracy via the jitted inference path (weights may be
+    aligned sparse — the scoring the reference's `caffe test` did)."""
+    import jax
+    import jax.numpy as jnp
+
+    fwd = jax.jit(lambda p, ns, b: net.apply(p, b, state=ns, train=False,
+                                             return_blobs=True))
+    correct = total = 0
+    for i in range(0, len(data) - batch + 1, batch):
+        blobs = fwd(params, net_state,
+                    {"data": jnp.asarray(data[i:i + batch]),
+                     "label": jnp.asarray(labels[i:i + batch])})
+        logits = np.asarray(blobs["ip2" if "ip2" in blobs else "ip1"])
+        correct += (logits.argmax(-1) == labels[i:i + batch]).sum()
+        total += batch
+    return correct / max(1, total)
+
+
+def prune_params(net, params, sparsity, block):
+    """Magnitude-prune conv + fc weights (block=None → unstructured)."""
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.utils.pruning import (prune_blocks,
+                                                prune_conv_weight,
+                                                prune_magnitude)
+
+    out = dict(params)
+    for layer in net.layers:
+        n = layer.spec.name
+        if n not in out or not isinstance(out[n], dict) or "w" not in out[n]:
+            continue
+        w = np.asarray(out[n]["w"])
+        t = layer.spec.type
+        q = dict(out[n])
+        if t in ("Convolution", "ConvolutionReLU") and w.ndim == 4:
+            if w.shape[0] * w.shape[1] * w.shape[2] < 32:
+                continue  # tiny first conv: dense in the reference too
+            q["w"] = jnp.asarray(prune_conv_weight(w, sparsity, block))
+        elif t == "InnerProduct":
+            q["w"] = jnp.asarray(
+                prune_magnitude(w, sparsity) if block is None
+                else prune_blocks(w, sparsity, block))
+        else:
+            continue
+        out[n] = q
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="lenet",
+                    choices=["lenet", "cifar10_quick", "cifar10_bn"])
+    ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--finetune_iters", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--base_lr", type=float, default=0.05)
+    ap.add_argument("--sparsities", default="0.7,0.9")
+    ap.add_argument("--block", default="8,8",
+                    help="block shape for structured pruning (bm,bk)")
+    ap.add_argument("--report", default="")
+    ap.add_argument("--workdir", default="/tmp/cescoin_experiment")
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform (default cpu: training these small "
+                         "models is host-friendly and leaves the TPU free "
+                         "for benches; pass tpu to use the chip)")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.data.datasets import cerec_source, write_cerec
+    from caffe_escoin_tpu.engine.context import ConvMode, ExecutionPolicy
+    from caffe_escoin_tpu.engine.solver import Solver
+    from caffe_escoin_tpu.engine.solvers import SolverConfig
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.nn import Net
+    from caffe_escoin_tpu.utils.pruning import masks_of, sparsity_of
+
+    os.makedirs(args.workdir, exist_ok=True)
+    builder, input_shapes = ZOO[args.model]
+    size = input_shapes["data"][1]
+    channels = input_shapes["data"][3]
+    (trd, trl), (ted, tel) = load_digits_upscaled(size, channels)
+    log(f"digits: train {len(trd)}, test {len(ted)}, input "
+        f"{size}x{size}x{channels}")
+
+    # exercise the .cerec database + cursor path for the training stream
+    train_db = os.path.join(args.workdir, "train.cerec")
+    write_cerec(train_db, trd, trl.astype(np.float32))
+    src = cerec_source(train_db, args.batch)
+
+    def train_iter():
+        while True:
+            b = src()
+            yield {"data": jnp.asarray(b["data"]),
+                   "label": jnp.asarray(b["label"])}
+
+    block = tuple(int(v) for v in args.block.split(","))
+    sparsities = [float(s) for s in args.sparsities.split(",")]
+
+    net = Net(builder(include_loss=True), phase="train")
+    test_net = Net(builder(include_loss=True), phase="test")
+    cfg = SolverConfig(base_lr=args.base_lr, momentum=0.9,
+                       weight_decay=5e-4, lr_policy="inv", gamma=1e-4,
+                       power=0.75)
+    solver = Solver(net, cfg, test_net=test_net,
+                    snapshot_prefix=os.path.join(args.workdir, "snap"))
+    solver.init({"data": (args.batch, size, size, channels),
+                 "label": (args.batch,)})
+    solver.step(train_iter(), args.iters, log=log)
+
+    dense_acc = evaluate(test_net, solver.params, solver.net_state, ted, tel)
+    log(f"dense test accuracy after {args.iters} iters: {dense_acc:.4f}")
+
+    results = {"model": args.model, "dense_acc": round(float(dense_acc), 4),
+               "train_iters": args.iters, "rows": []}
+
+    base_params = solver.params
+    base_state = solver.net_state
+    base_solver_state = solver.state
+    sp_policy = ExecutionPolicy(conv_mode=ConvMode.SCONV_PAR,
+                                block_shape=block, sparse_threshold=0.4,
+                                sconv_threshold=0.4)
+    sparse_net = Net(builder(include_loss=True), policy=sp_policy,
+                     phase="test")
+
+    for gran, blk in (("unstructured", None), ("block", block)):
+        for sp in sparsities:
+            pruned = prune_params(net, base_params, sp, blk)
+            acc_pruned = evaluate(test_net, pruned, base_state, ted, tel)
+            # masked fine-tune
+            solver.params = pruned
+            solver.net_state = base_state
+            solver.state = jax.tree_util.tree_map(
+                jnp.zeros_like, base_solver_state)
+            solver.set_param_masks(masks_of(pruned))
+            solver.step(train_iter(), args.finetune_iters, log=lambda m: None)
+            acc_ft = evaluate(test_net, solver.params, solver.net_state,
+                              ted, tel)
+            # sparse execution parity: weight_align + sparse path scoring
+            aligned = sparse_net.weight_align(solver.params)
+            acc_sparse = evaluate(sparse_net, aligned, solver.net_state,
+                                  ted, tel)
+            achieved = np.mean([
+                sparsity_of(v["w"]) for k, v in solver.params.items()
+                if isinstance(v, dict) and "w" in v
+                and np.asarray(v["w"]).ndim in (2, 4)
+                and np.asarray(v["w"]).size > 2000])
+            row = dict(granularity=gran, target_sparsity=sp,
+                       achieved_sparsity=round(float(achieved), 4),
+                       acc_pruned=round(float(acc_pruned), 4),
+                       acc_finetuned=round(float(acc_ft), 4),
+                       acc_sparse_exec=round(float(acc_sparse), 4),
+                       sparse_exec_delta=round(
+                           float(acc_sparse - acc_ft), 4))
+            results["rows"].append(row)
+            log(f"{gran} @ {sp:.0%}: pruned {acc_pruned:.4f} -> "
+                f"finetuned {acc_ft:.4f} -> sparse-exec {acc_sparse:.4f}")
+
+    md = [f"## {args.model} on digits (dense acc {dense_acc:.4f}, "
+          f"{args.iters} iters)",
+          "",
+          "| granularity | target sparsity | acc pruned | acc fine-tuned | "
+          "acc sparse-exec | sparse-exec delta |",
+          "|---|---|---|---|---|---|"]
+    for r in results["rows"]:
+        md.append(f"| {r['granularity']} | {r['target_sparsity']:.0%} "
+                  f"(got {r['achieved_sparsity']:.1%}) | "
+                  f"{r['acc_pruned']:.4f} | {r['acc_finetuned']:.4f} | "
+                  f"{r['acc_sparse_exec']:.4f} | "
+                  f"{r['sparse_exec_delta']:+.4f} |")
+    report = "\n".join(md)
+    if args.report:
+        with open(args.report, "a") as f:
+            f.write(report + "\n\n")
+        with open(args.report + ".json", "a") as f:
+            f.write(json.dumps(results) + "\n")
+    print(report)
+
+
+if __name__ == "__main__":
+    main()
