@@ -166,6 +166,30 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
     from caffe_escoin_tpu.kernels import (sconv_fused, sconv_pallas,
                                           xla_block_sparse)
 
+    # Non-unit stride: STRIDED slice reads are catastrophic on this hardware
+    # (measured: 1x1/s2 via strided XBSP operands runs 18x slower than dense
+    # conv — every dot re-reads the ifmap through a stride-2 DMA pattern).
+    # For 1x1 the stride commutes with the conv: subsample ONCE (a single
+    # strided relayout) and run the stride-1 sparse path on the quarter-size
+    # ifmap. For k>1 fall back to dense conv, which handles striding in its
+    # native tiling — the reference's tuned kernels were unit-stride too
+    # (`sconv_unit_stride`, sconv.hpp:57) with a generic fallback.
+    if stride != (1, 1):
+        if aligned.kernel_shape == (1, 1) and dilation == (1, 1):
+            xs = x[:, ::stride[0], ::stride[1], :]
+            if padding != (0, 0):
+                xs = jnp.pad(x, ((0, 0), (padding[0], padding[0]),
+                                 (padding[1], padding[1]), (0, 0)))[
+                    :, ::stride[0], ::stride[1], :]
+            return conv2d_sconv(
+                xs, aligned, stride=(1, 1), padding=(0, 0),
+                dilation=(1, 1), relu=relu, policy=policy,
+                batch_parallel=batch_parallel)
+        return conv2d_dense(
+            x, aligned.dense.astype(x.dtype), aligned.bias, stride=stride,
+            padding=padding, dilation=dilation, groups=aligned.groups,
+            relu=relu).astype(x.dtype)
+
     # Primary arm: the XLA-native static block unroll (XBSP). Beats the
     # hand-written Pallas pipelines on every profiled ResNet-50 shape (XLA
     # streams dot operands at ~1.65 TB/s vs ~730 GB/s pallas block DMA on

@@ -98,6 +98,37 @@ def sparsity_of(w) -> float:
     return float((w == 0).mean())
 
 
+def densify_blocks(w, block_shape: Tuple[int, int], min_density: float):
+    """Convert an unstructured-sparse matrix into a block-executable one by
+    zeroing blocks whose element density is below ``min_density`` (the lossy
+    step of deploying an unstructured checkpoint on block-skipping MXU
+    kernels; pair with masked fine-tuning to recover accuracy).
+
+    Returns (w_densified, stats) with the extra-zeroed weight fraction and
+    the resulting block density."""
+    w = np.asarray(w).copy()
+    rows, cols = w.shape
+    bm, bk = block_shape
+    R, C = -(-rows // bm) * bm, -(-cols // bk) * bk
+    wp = np.zeros((R, C), w.dtype)
+    wp[:rows, :cols] = w
+    blocked = wp.reshape(R // bm, bm, C // bk, bk).transpose(0, 2, 1, 3)
+    dens = (blocked != 0).mean(axis=(2, 3))
+    nnz_before = int((w != 0).sum())
+    kill = dens < min_density
+    blocked[kill] = 0
+    out = blocked.transpose(0, 2, 1, 3).reshape(R, C)[:rows, :cols]
+    nnz_after = int((out != 0).sum())
+    stats = dict(
+        nnz_before=nnz_before,
+        nnz_after=nnz_after,
+        extra_zeroed_frac=round(
+            (nnz_before - nnz_after) / max(1, nnz_before), 4),
+        block_density=round(float((~kill).mean()), 4),
+    )
+    return out, stats
+
+
 def masks_of(params, keys=("w",)):
     """0/1 pytree for Solver.set_param_masks: the nonzero pattern of every
     leaf whose dict key is in ``keys`` (the pruned weights), all-ones

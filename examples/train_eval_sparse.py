@@ -113,6 +113,9 @@ def prune_params(net, params, sparsity, block):
                 continue  # tiny first conv: dense in the reference too
             q["w"] = jnp.asarray(prune_conv_weight(w, sparsity, block))
         elif t == "InnerProduct":
+            if w.shape[1] < 32:
+                continue  # classifier head: never pruned (standard practice;
+                # the reference's pruned models kept fc8/classifier dense)
             q["w"] = jnp.asarray(
                 prune_magnitude(w, sparsity) if block is None
                 else prune_blocks(w, sparsity, block))
@@ -235,6 +238,57 @@ def main():
             log(f"{gran} @ {sp:.0%}: pruned {acc_pruned:.4f} -> "
                 f"finetuned {acc_ft:.4f} -> sparse-exec {acc_sparse:.4f}")
 
+    # ---- unstructured-checkpoint DEPLOYMENT pipeline (lenet-family nets):
+    # permute ip1's output channels to concentrate its unstructured pattern
+    # into blocks (propagated for free into ip2's input rows), densify
+    # sub-threshold blocks, masked-fine-tune, and score through the
+    # block-sparse executors. The accuracy delta + achieved block density IS
+    # the cost of converting the reference's unstructured workload into
+    # MXU-executable structure (docs/PERFORMANCE.md "Unstructured sparsity
+    # on TPU").
+    if "ip1" in base_params and "ip2" in base_params:
+        from caffe_escoin_tpu.sparse.permute import block_permutation
+        from caffe_escoin_tpu.utils.pruning import densify_blocks
+
+        sp = max(sparsities)
+        pruned = prune_params(net, base_params, sp, None)  # unstructured
+        solver.params = pruned
+        solver.net_state = base_state
+        solver.state = jax.tree_util.tree_map(
+            jnp.zeros_like, base_solver_state)
+        solver.set_param_masks(masks_of(pruned))
+        solver.step(train_iter(), args.finetune_iters, log=lambda m: None)
+        p = dict(solver.params)
+        w1 = np.asarray(p["ip1"]["w"])
+        _, cout_perm, pstats = block_permutation(
+            w1, block, optimize_rows=False)
+        w1p = w1[:, cout_perm]
+        w1d, dstats = densify_blocks(w1p, block, min_density=0.05)
+        q1 = dict(p["ip1"]); q1["w"] = jnp.asarray(w1d)
+        if "b" in q1:
+            q1["b"] = jnp.asarray(np.asarray(q1["b"])[cout_perm])
+        q2 = dict(p["ip2"])
+        q2["w"] = jnp.asarray(np.asarray(p["ip2"]["w"])[cout_perm])
+        p["ip1"], p["ip2"] = q1, q2
+        solver.params = p
+        solver.set_param_masks(masks_of(p))
+        solver.step(train_iter(), args.finetune_iters, log=lambda m: None)
+        aligned = sparse_net.weight_align(solver.params)
+        acc_dep = evaluate(sparse_net, aligned, solver.net_state, ted, tel)
+        results["unstructured_deployment"] = dict(
+            sparsity=sp,
+            blocks_before=pstats["blocks_before"],
+            blocks_after_permute=pstats["blocks_after"],
+            block_density_after_densify=dstats["block_density"],
+            extra_zeroed_frac=dstats["extra_zeroed_frac"],
+            acc_after_pipeline=round(float(acc_dep), 4))
+        log(f"unstructured deployment @ {sp:.0%}: ip1 live blocks "
+            f"{pstats['blocks_before']} -> permute "
+            f"{pstats['blocks_after']} -> densify bd="
+            f"{dstats['block_density']:.2f} "
+            f"(+{dstats['extra_zeroed_frac']:.1%} zeroed), "
+            f"acc {acc_dep:.4f}")
+
     md = [f"## {args.model} on digits (dense acc {dense_acc:.4f}, "
           f"{args.iters} iters)",
           "",
@@ -247,6 +301,17 @@ def main():
                   f"{r['acc_pruned']:.4f} | {r['acc_finetuned']:.4f} | "
                   f"{r['acc_sparse_exec']:.4f} | "
                   f"{r['sparse_exec_delta']:+.4f} |")
+    if "unstructured_deployment" in results:
+        d = results["unstructured_deployment"]
+        md += ["",
+               f"Unstructured-checkpoint deployment @ "
+               f"{d['sparsity']:.0%} (permute → densify → masked "
+               f"fine-tune → block exec): ip1 live blocks "
+               f"{d['blocks_before']} → {d['blocks_after_permute']}, "
+               f"densified block density "
+               f"{d['block_density_after_densify']:.2f} "
+               f"(+{d['extra_zeroed_frac']:.1%} weights zeroed), final "
+               f"accuracy {d['acc_after_pipeline']:.4f}."]
     report = "\n".join(md)
     if args.report:
         with open(args.report, "a") as f:
