@@ -60,7 +60,14 @@ def _load_or_init(net, shapes, args):
     import jax
 
     params = net.init(jax.random.PRNGKey(args.seed), shapes)
-    if args.weights:
+    if args.weights and args.weights.endswith(".caffemodel"):
+        # pretrained reference weights (binaryproto NetParameter)
+        from caffe_escoin_tpu.tools.caffemodel import (assign_to_params,
+                                                       load_caffemodel)
+
+        params = assign_to_params(net, params, load_caffemodel(args.weights))
+        print(f"imported caffemodel weights from {args.weights}")
+    elif args.weights:
         from caffe_escoin_tpu.engine.checkpoint import load_checkpoint
         import jax.numpy as jnp
 
