@@ -234,10 +234,12 @@ def run_e2e(args):
         return net, shapes, params
 
     pol_dense = ExecutionPolicy()
-    pol_dense_bf16 = ExecutionPolicy(compute_dtype=jnp.bfloat16)
+    pol_dense_bf16 = ExecutionPolicy(compute_dtype=jnp.bfloat16,
+                                     cast_back=False)
     pol_sparse = ExecutionPolicy(conv_mode=ConvMode.SCONV_PAR,
                                  block_shape=(128, 128),
-                                 compute_dtype=jnp.bfloat16)
+                                 compute_dtype=jnp.bfloat16,
+                                 cast_back=False)
     net_d, shapes, params = build(pol_dense, None)
     net_db, _, _ = build(pol_dense_bf16, None)
     net_s, _, _ = build(pol_sparse, None)

@@ -65,6 +65,11 @@ class ExecutionPolicy:
     sconv_threshold: float = 0.5  # SCONV/SCONV_PAR profitability
     fuse_relu: bool = True  # fold layer's ReLU into the sparse kernel epilogue
     compute_dtype: object = None  # e.g. jnp.bfloat16; None = input dtype
+    # with compute_dtype set: True casts each conv layer's output back to
+    # its input dtype (per-layer mixed precision); False keeps outputs in
+    # compute_dtype so the whole net runs (and moves bytes) at that width —
+    # the bf16 end-to-end inference deployment
+    cast_back: bool = True
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backends)
     interpret: bool = False  # run pallas kernels in interpreter mode (tests)
     spmm_tile_m: int = 512  # pallas SpMM M-tile

@@ -147,7 +147,7 @@ class ConvolutionLayer(Layer):
                 padding=c["pad"], dilation=c["dilation"], groups=c["groups"],
                 relu=fuse_relu,
             )
-        if cd is not None:
+        if cd is not None and self.policy.cast_back:
             out = out.astype(in_dtype)
         return [out]
 
