@@ -136,10 +136,15 @@ def conv2d_lowered_sparse(x, aligned: AlignedConvWeight, *, stride, padding,
             cols2d, ((0, 0), (0, 0), (0, aligned.cin_pad - aligned.cin))
         )
     cols2d = cols2d.reshape(n * ho * wo, aligned.k)
+    from caffe_escoin_tpu.kernels import xla_block_sparse
+
     if policy.sparse_format == SparseFormat.ELL and aligned.ell_t is not None:
         # reference CSR orientation: rows = output channels
         out_t = spmm_kernels.ell_spmm(aligned.ell_t, cols2d.T)
         out2d = out_t.T
+    elif xla_block_sparse.spmm_supported(aligned.bsc, policy):
+        # concrete pattern: same static block unroll the FC fast path uses
+        out2d = xla_block_sparse.spmm(cols2d, aligned.bsc)
     elif policy.pallas_enabled() and _bsc_pallas_ok(aligned.bsc, policy):
         from caffe_escoin_tpu.kernels.bsc_pallas import bsc_spmm_pallas
 
