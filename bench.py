@@ -213,6 +213,87 @@ def run_per_layer(args):
     }))
 
 
+def run_fc(args):
+    """Sparse FC microbench: the model's InnerProduct shapes (e.g. VGG-16
+    fc6/fc7, the fc bucket the reference reported first-class) — dense
+    f32/bf16 matmul vs the XBSP SpMM on block-pruned weights."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.kernels import xla_block_sparse as xbs
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.nn import Net
+    from caffe_escoin_tpu.sparse.formats import dense_to_bsc
+    from caffe_escoin_tpu.utils.benchmark import device_time
+    from caffe_escoin_tpu.utils.pruning import prune_blocks
+
+    builder, input_shapes = ZOO[args.model]
+    net = Net(builder())
+    shape = (args.batch,) + tuple(input_shapes["data"][1:])
+    net.init(jax.random.PRNGKey(0), {"data": shape})
+    fcs = []
+    for layer in net.layers:
+        if layer.spec.type != "InnerProduct":
+            continue
+        k = int(np.prod(net.blob_shapes[layer.spec.bottoms[0]][1:]))
+        m = layer.p["num_output"]
+        if m < 128 or k < 256:
+            continue  # classifier heads stay dense
+        fcs.append((layer.spec.name, k, m))
+    log(f"fc configs: {fcs}")
+    rng = np.random.default_rng(0)
+    rows = []
+    tot = {"f32": 0.0, "bf16": 0.0, "sp": 0.0}
+    for name, k, m in fcs:
+        w = prune_blocks(
+            rng.standard_normal((k, m)).astype(np.float32) * 0.02,
+            args.sparsity, (128, 128))
+        bsc = dense_to_bsc(w, (128, 128))
+        wj = jnp.asarray(w)
+        wb = wj.astype(jnp.bfloat16)
+        x = jnp.asarray(
+            rng.standard_normal((args.batch, k)).astype(np.float32) * 0.1)
+        xb = x.astype(jnp.bfloat16)
+        d32 = lambda y: jnp.dot(y, wj)  # noqa: E731
+        dbf = lambda y: jnp.dot(y, wb)  # noqa: E731
+        sp = lambda y: xbs.spmm(y, bsc)  # noqa: E731
+        err = float(jnp.max(jnp.abs(sp(xb).astype(jnp.float32) - d32(x))))
+        tf = device_time(d32, x, iters=args.repeats)
+        tb = device_time(dbf, xb, iters=args.repeats)
+        ts = device_time(sp, xb, iters=args.repeats)
+        tot["f32"] += tf
+        tot["bf16"] += tb
+        tot["sp"] += ts
+        rows.append(dict(layer=name, k=k, m=m, model=args.model,
+                         batch=args.batch, sparsity=args.sparsity,
+                         t_dense_f32_us=round(tf * 1e6, 2),
+                         t_dense_bf16_us=round(tb * 1e6, 2),
+                         t_sparse_us=round(ts * 1e6, 2),
+                         speedup_vs_f32=round(tf / ts, 3),
+                         speedup_vs_bf16=round(tb / ts, 3), err=err,
+                         kind="fc"))
+        log(f"  {name} {k}x{m}: f32 {tf*1e6:7.1f}us bf16 {tb*1e6:7.1f}us "
+            f"sparse {ts*1e6:7.1f}us vs_f32 {tf/ts:5.2f}x "
+            f"vs_bf16 {tb/ts:5.2f}x err {err:.1e}")
+    if args.jsonl:
+        with open(args.jsonl, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    if not rows or tot["sp"] <= 0:
+        print(json.dumps({"metric": f"{args.model}_sparse_fc", "value": 0.0,
+                          "unit": "x", "vs_baseline": 0.0}))
+        return
+    print(json.dumps({
+        "metric": (f"{args.model}_sparse_fc_speedup_"
+                   f"{int(round(args.sparsity * 100))}"),
+        "value": round(tot["bf16"] / tot["sp"], 3),
+        "unit": "x_vs_dense_bf16_matmul",
+        "vs_baseline": round(tot["bf16"] / tot["sp"] / 2.0, 3),
+        "speedup_vs_dense_f32": round(tot["f32"] / tot["sp"], 3),
+    }))
+
+
 def run_e2e(args):
     import numpy as np
     import jax
@@ -336,6 +417,9 @@ def main():
     ap.add_argument("--e2e", action="store_true",
                     help="whole-net Net.inference_fn timing instead of "
                          "per-layer conv configs")
+    ap.add_argument("--fc", action="store_true",
+                    help="sparse FC microbench on the model's InnerProduct "
+                         "shapes")
     ap.add_argument("--buckets", action="store_true",
                     help="with --e2e: also report conv/fc/other bucket split")
     ap.add_argument("--jsonl", default="",
@@ -347,6 +431,8 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     if args.e2e:
         run_e2e(args)
+    elif args.fc:
+        run_fc(args)
     else:
         run_per_layer(args)
 

@@ -19,6 +19,9 @@ run python bench.py --model vgg16     --sparsity 0.9 --jsonl $J | tee -a $J
 # the reference's true workload: unstructured element pruning, honest number
 run python bench.py --granularity unstructured --sparsity 0.9 --jsonl $J | tee -a $J
 
+# sparse FC microbench (VGG-16 fc6/fc7 — the reference's fc bucket)
+run python bench.py --fc --model vgg16 --batch 32 --sparsity 0.9 --jsonl $J | tee -a $J
+
 # whole-net end-to-end with buckets (stride-fix validation)
 run python bench.py --e2e --buckets --batch 8 --repeats 8 --jsonl $J | tee -a $J
 run python bench.py --e2e --model alexnet --batch 16 --repeats 8 --jsonl $J | tee -a $J
