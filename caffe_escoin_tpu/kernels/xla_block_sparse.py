@@ -255,16 +255,7 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
          dilation=(1, 1), relu=False):
     """Block-sparse conv via static XLA unroll. x: [N,H,W,Cin] (any float
     dtype; bf16 recommended) -> [N,Ho,Wo,Cout] in x.dtype. Supports any
-    kernel size, stride and dilation (shifted slices subsample freely).
-
-    Lane folding: a layer with cin_pad < 128 leaves VREG lanes (and DMA
-    efficiency) on the table — the dot's contraction dim underfills the
-    128-lane minor tile (measured: 56x56x64 k3 ran at half the streaming
-    rate). When stride is 1 and the output width divides, f = 128/bk
-    adjacent width pixels are folded into the channel dim: the activation
-    reshape [*, wo, bk] -> [*, wo/f, f*bk] is layout-FREE (minor-dims
-    memory order is identical), the weight becomes block-diagonal
-    kron(I_f, blk), and the result folds back for free the same way."""
+    kernel size, stride and dilation (shifted slices subsample freely)."""
     kh, kw = aligned.kernel_shape
     bk, bn = aligned.bsc.block_shape
     n_cin_b = aligned.cin_pad // bk
@@ -283,16 +274,6 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
     bcol_nnz = np.asarray(jax.device_get(aligned.bsc.bcol_nnz))
     wblocks = aligned.bsc.blocks.astype(x.dtype)
 
-    fold = 1
-    if (bk < 128 and c == aligned.cin_pad == bk and sh == sw == 1
-            and dh == dw == 1):
-        fold = 128 // bk
-        while fold > 1 and wo % fold:
-            fold //= 2
-    eye_f = None
-    if fold > 1:
-        eye_f = jnp.eye(fold, dtype=x.dtype)
-
     outs = []
     for j in range(block_row.shape[0]):
         acc = None
@@ -306,15 +287,12 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
             blk = wblocks[j, s]
             if a.shape[-1] < bk:  # channel tail (cin_pad > cin)
                 blk = blk[:a.shape[-1]]
-            if fold > 1:
-                a = a.reshape(n, ho, wo // fold, fold * bk)
-                blk = jnp.kron(eye_f, blk)  # block-diag [f*bk, f*bn]
             d = jax.lax.dot_general(
                 a, blk, (((3,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d
         if acc is None:
-            acc = jnp.zeros((n, ho, wo // fold, fold * bn), jnp.float32)
+            acc = jnp.zeros((n, ho, wo, bn), jnp.float32)
         # bias/relu/cast per block-column, in f32, BEFORE the concat: the
         # concat then moves bf16 (half the bytes) and the adds fuse into the
         # last dot of each column's chain
@@ -323,14 +301,9 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
             bcol = b[j * bn:(j + 1) * bn]
             if bcol.shape[0] < bn:
                 bcol = jnp.pad(bcol, (0, bn - bcol.shape[0]))
-            if fold > 1:
-                bcol = jnp.tile(bcol, fold)
             acc = acc + bcol
         if relu:
             acc = jnp.maximum(acc, 0.0)
-        acc = acc.astype(x.dtype)
-        if fold > 1:
-            acc = acc.reshape(n, ho, wo, bn)  # layout-free unfold
-        outs.append(acc)
+        outs.append(acc.astype(x.dtype))
     out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
     return out[..., :aligned.cout]

@@ -184,26 +184,3 @@ def test_all_arms_match_oracle_through_dispatch(arm):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
-
-
-@pytest.mark.parametrize("cin,wsz", [(64, 8), (32, 12), (64, 7)])
-def test_lane_folding_matches_oracle(cin, wsz):
-    """Sub-128-channel layers fold f=128/bk width pixels into lanes; odd
-    widths that don't divide fall back (fold halves until it divides)."""
-    rng = np.random.default_rng(7)
-    pol = ExecutionPolicy(block_shape=(128, 128))
-    w = prune_conv_weight(
-        rng.standard_normal((3, 3, cin, cin)).astype(np.float32) * 0.1,
-        0.8, (cin, 128))
-    al = weight_align(w, jnp.asarray(
-        rng.standard_normal(cin).astype(np.float32)), policy=pol)
-    x = jnp.asarray(
-        rng.standard_normal((2, wsz, wsz, cin)).astype(np.float32))
-    out = jax.jit(lambda y: xla_block_sparse.conv(
-        y, al, padding=(1, 1), relu=True))(x)
-    ref = lax.conv_general_dilated(
-        x, jnp.asarray(w), (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
-    ref = jnp.maximum(ref + al.bias, 0.0)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
-                               atol=1e-4)
