@@ -308,12 +308,6 @@ def run_e2e(args):
     builder, input_shapes = ZOO[args.model]
     block = (128, 128) if args.granularity == "block" else None
 
-    def build(policy, dtype):
-        net = Net(builder(), policy=policy, phase="test")
-        shapes = {"data": (args.batch,) + tuple(input_shapes["data"][1:])}
-        params = net.init(jax.random.PRNGKey(0), shapes)
-        return net, shapes, params
-
     pol_dense = ExecutionPolicy()
     pol_dense_bf16 = ExecutionPolicy(compute_dtype=jnp.bfloat16,
                                      cast_back=False)
@@ -321,9 +315,13 @@ def run_e2e(args):
                                  block_shape=(128, 128),
                                  compute_dtype=jnp.bfloat16,
                                  cast_back=False)
-    net_d, shapes, params = build(pol_dense, None)
-    net_db, _, _ = build(pol_dense_bf16, None)
-    net_s, _, _ = build(pol_sparse, None)
+    net_d = Net(builder(), policy=pol_dense, phase="test")
+    net_db = Net(builder(), policy=pol_dense_bf16, phase="test")
+    net_s = Net(builder(), policy=pol_sparse, phase="test")
+    shapes = {"data": (args.batch,) + tuple(input_shapes["data"][1:])}
+    # one init: all three nets share the same weights (Net.apply falls back
+    # to fresh per-layer buffers for the uninitialized nets' state)
+    params = net_d.init(jax.random.PRNGKey(0), shapes)
 
     # prune conv AND fc weights (the fc bucket matters for AlexNet/VGG —
     # `tools/caffe.cpp:338-367` reports it first-class)

@@ -210,8 +210,13 @@ class Solver:
             data_iter = self.test_data_iter
         if self.test_net is None or data_iter is None:
             return {}
-        fwd = jax.jit(
-            lambda p, ns, b: self.test_net.apply(p, b, state=ns, train=False))
+        if getattr(self, "_test_fwd", None) is None:
+            # cache the jitted test forward: a fresh lambda per call would
+            # recompile the whole test net at every test_interval
+            self._test_fwd = jax.jit(
+                lambda p, ns, b: self.test_net.apply(p, b, state=ns,
+                                                     train=False))
+        fwd = self._test_fwd
         metrics: Dict[str, list] = {}
         for _ in range(self.test_iters):
             out = fwd(self.params, self.net_state, next(data_iter))

@@ -224,6 +224,8 @@ class HDF5DataLayer(_PrefetchingDataLayer):
         shuffle = self.p.get("shuffle", False)
         rng = np.random.default_rng(self.p.get("seed", 0))
         file_order = list(range(len(files)))
+        if shuffle:  # first epoch too (hdf5_data_layer.cpp LayerSetUp)
+            rng.shuffle(file_order)
         state = {"fi": 0, "pos": 0, "cur": None, "order": None}
 
         def _load_current():

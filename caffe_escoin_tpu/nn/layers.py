@@ -436,10 +436,12 @@ class BatchNormLayer(Layer):
         if use_global:
             mean, var = self._moving(state)
             return [norm_ops.batch_norm_inference(x, mean, var, eps=eps)], state
-        out, bmean, bvar = norm_ops.batch_norm_train(x, eps=eps)
+        # normalize over all non-channel dims (rank-2 fc inputs, rank-3 1-D
+        # conv, rank-4 NHWC all work; channel is last)
+        axes = tuple(range(x.ndim - 1))
+        out, bmean, bvar = norm_ops.batch_norm_train(x, axis=axes, eps=eps)
         lam = self.p.get("moving_average_fraction", 0.999)
-        m = float(np.prod([x.shape[i] for i in (0, 1, 2)])) if x.ndim == 4 \
-            else float(x.shape[0])
+        m = float(np.prod([x.shape[i] for i in axes]))
         bias_corr = m / (m - 1.0) if m > 1 else 1.0
         new_state = {
             "mean_acc": lam * state["mean_acc"] + bmean,

@@ -217,8 +217,14 @@ class Net:
                 sub = None
             pkey = spec.share_params or spec.name
             if layer.has_state:
+                lstate = state.get(spec.name)
+                if not lstate:
+                    # net used without init() (e.g. params loaded from a
+                    # checkpoint): fall back to freshly-initialized buffers,
+                    # sized from the live blobs
+                    lstate = layer.init_state([tuple(b.shape) for b in ins])
                 outs, st = layer.apply_stateful(
-                    params.get(pkey, {}), state.get(spec.name, {}), ins,
+                    params.get(pkey, {}), lstate, ins,
                     train=train, rng=sub,
                 )
                 if train:

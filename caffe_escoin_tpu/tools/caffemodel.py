@@ -186,9 +186,15 @@ def assign_to_params(net, params: Dict, loaded: Dict[str, Dict],
         blobs = loaded[name]["blobs"]
         p = dict(out[name])
         t = layer.spec.type
-        if t in ("Convolution", "ConvolutionReLU", "EscConvolution",
-                 "Deconvolution"):
+        if t in ("Convolution", "ConvolutionReLU", "EscConvolution"):
             p["w"] = _conv_to_hwio(blobs[0])
+            if len(blobs) > 1 and "b" in p:
+                p["b"] = blobs[1].reshape(-1)
+        elif t == "Deconvolution":
+            # Caffe deconv blobs are [Cin, Cout/g, KH, KW]
+            # (`deconv_layer.cpp` swaps the conv roles) -> [KH, KW, Cin, Cout]
+            w = blobs[0]
+            p["w"] = np.ascontiguousarray(w.transpose(2, 3, 0, 1))
             if len(blobs) > 1 and "b" in p:
                 p["b"] = blobs[1].reshape(-1)
         elif t == "InnerProduct":
@@ -229,16 +235,20 @@ def assign_to_params(net, params: Dict, loaded: Dict[str, Dict],
 
 
 def batchnorm_state(loaded: Dict[str, Dict]) -> Dict[str, Dict]:
-    """Extract BatchNorm moving stats: Caffe stores (mean_sum, var_sum,
-    scale_factor) and divides by scale_factor at use
-    (`batch_norm_layer.cpp:125-145`). Returns layer -> {mean, var} ready
-    for Net state."""
+    """Extract BatchNorm moving stats in the framework's state schema.
+
+    Caffe stores (mean_sum, var_sum, scale_factor) and divides by
+    scale_factor at use (`batch_norm_layer.cpp:13-16,96-106`); this
+    framework's BatchNormLayer state keeps exactly those three —
+    {mean_acc, var_acc, count} — so the blobs map one-to-one. Merge the
+    result into Net state: ``state.update(batchnorm_state(loaded))`` after
+    `init_with_state` (or pass as `Net.apply(state=...)`)."""
     out = {}
     for name, entry in loaded.items():
         if entry["type"] != "BatchNorm" or len(entry["blobs"]) < 3:
             continue
         mean_s, var_s, sf = entry["blobs"][:3]
-        scale = 0.0 if sf.reshape(-1)[0] == 0 else 1.0 / sf.reshape(-1)[0]
-        out[name] = {"mean": mean_s.reshape(-1) * scale,
-                     "var": var_s.reshape(-1) * scale}
+        out[name] = {"mean_acc": np.asarray(mean_s.reshape(-1), np.float32),
+                     "var_acc": np.asarray(var_s.reshape(-1), np.float32),
+                     "count": np.float32(sf.reshape(-1)[0])}
     return out

@@ -63,9 +63,19 @@ def _load_or_init(net, shapes, args):
     if args.weights and args.weights.endswith(".caffemodel"):
         # pretrained reference weights (binaryproto NetParameter)
         from caffe_escoin_tpu.tools.caffemodel import (assign_to_params,
+                                                       batchnorm_state,
                                                        load_caffemodel)
 
-        params = assign_to_params(net, params, load_caffemodel(args.weights))
+        loaded = load_caffemodel(args.weights)
+        params = assign_to_params(net, params, loaded)
+        # BatchNorm moving stats go into the net's default state so every
+        # downstream forward (inference_fn state=None) uses them
+        for name, st in batchnorm_state(loaded).items():
+            if name in getattr(net, "state0", {}):
+                import jax.numpy as jnp
+
+                net.state0[name] = {k: jnp.asarray(v)
+                                    for k, v in st.items()}
         print(f"imported caffemodel weights from {args.weights}")
     elif args.weights:
         from caffe_escoin_tpu.engine.checkpoint import load_checkpoint

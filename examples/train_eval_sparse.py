@@ -57,22 +57,6 @@ def load_digits_upscaled(size, channels):
     return (imgs[n_test:], labels[n_test:]), (imgs[:n_test], labels[:n_test])
 
 
-def batch_iter(data, labels, batch, *, seed=0, train=True):
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(seed)
-    n = len(data)
-    while True:
-        idx = rng.integers(0, n, batch) if train else None
-        if train:
-            yield {"data": jnp.asarray(data[idx]),
-                   "label": jnp.asarray(labels[idx])}
-        else:
-            for i in range(0, n - batch + 1, batch):
-                yield {"data": jnp.asarray(data[i:i + batch]),
-                       "label": jnp.asarray(labels[i:i + batch])}
-
-
 def evaluate(net, params, net_state, data, labels, batch=64):
     """Test-phase accuracy via the jitted inference path (weights may be
     aligned sparse — the scoring the reference's `caffe test` did)."""

@@ -152,3 +152,28 @@ def test_silence_emits_no_tops(rng):
         rng.standard_normal((2, 5)), jnp.float32)})
     assert "sil" not in out  # Silence produces nothing
     assert out == {}  # its bottom was consumed; nothing else is final
+
+
+def test_batchnorm_after_fc_rank2(rng):
+    """BN on a rank-2 [N, C] input (after InnerProduct) — train-mode batch
+    stats and moving-average accumulation over the batch axis only."""
+    from caffe_escoin_tpu.engine.context import ExecutionPolicy
+    from caffe_escoin_tpu.nn import LayerSpec
+    from caffe_escoin_tpu.nn.net import LAYER_REGISTRY
+
+    layer = LAYER_REGISTRY["BatchNorm"](
+        LayerSpec(name="bn", type="BatchNorm", bottoms=["x"], tops=["y"]),
+        ExecutionPolicy())
+    x = jnp.asarray(rng.standard_normal((16, 6)).astype(np.float32) * 3 + 1)
+    state = layer.init_state([x.shape])
+    (out,), new_state = layer.apply_stateful({}, state, [x], train=True,
+                                             rng=None)
+    np.testing.assert_allclose(np.asarray(out.mean(0)), np.zeros(6),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.std(0)), np.ones(6), atol=1e-2)
+    m = 16.0
+    np.testing.assert_allclose(np.asarray(new_state["mean_acc"]),
+                               np.asarray(x.mean(0)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state["var_acc"]),
+        np.asarray(jnp.var(x, 0)) * (m / (m - 1)), rtol=1e-4)

@@ -94,8 +94,20 @@ def test_roundtrip_modern_and_legacy(tmp_path):
     np.testing.assert_array_equal(
         loaded["ipX"]["blobs"][0], wf.reshape(1, 1, 10, 30))
     st = batchnorm_state(loaded)
-    np.testing.assert_allclose(st["bn1"]["mean"], mean_s / 2.0, rtol=1e-6)
-    np.testing.assert_allclose(st["bn1"]["var"], var_s / 2.0, rtol=1e-6)
+    # raw sums + count, one-to-one with BatchNormLayer's state schema
+    np.testing.assert_allclose(st["bn1"]["mean_acc"], mean_s, rtol=1e-6)
+    np.testing.assert_allclose(st["bn1"]["var_acc"], var_s, rtol=1e-6)
+    assert float(st["bn1"]["count"]) == 2.0
+    # dividing by count must reproduce the moving stats the layer uses
+    from caffe_escoin_tpu.nn.net import LAYER_REGISTRY
+    from caffe_escoin_tpu.nn import LayerSpec
+    from caffe_escoin_tpu.engine.context import ExecutionPolicy
+    layer = LAYER_REGISTRY["BatchNorm"](
+        LayerSpec(name="bn1", type="BatchNorm", bottoms=["x"], tops=["y"]),
+        ExecutionPolicy())
+    mean, var = layer._moving({k: jnp.asarray(v) for k, v in st["bn1"].items()})
+    np.testing.assert_allclose(np.asarray(mean), mean_s / 2.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), var_s / 2.0, rtol=1e-5)
 
 
 def test_import_into_lenet_matches_manual_forward(tmp_path):
