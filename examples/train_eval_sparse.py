@@ -77,7 +77,8 @@ def evaluate(net, params, net_state, data, labels, batch=64):
 
 
 def prune_params(net, params, sparsity, block):
-    """Magnitude-prune conv + fc weights (block=None → unstructured)."""
+    """Magnitude-prune conv + fc weights (block=None → unstructured).
+    Returns (params, pruned_layer_names)."""
     import jax.numpy as jnp
 
     from caffe_escoin_tpu.utils.pruning import (prune_blocks,
@@ -85,6 +86,7 @@ def prune_params(net, params, sparsity, block):
                                                 prune_magnitude)
 
     out = dict(params)
+    pruned_names = []
     for layer in net.layers:
         n = layer.spec.name
         if n not in out or not isinstance(out[n], dict) or "w" not in out[n]:
@@ -93,8 +95,9 @@ def prune_params(net, params, sparsity, block):
         t = layer.spec.type
         q = dict(out[n])
         if t in ("Convolution", "ConvolutionReLU") and w.ndim == 4:
-            if w.shape[0] * w.shape[1] * w.shape[2] < 32:
-                continue  # tiny first conv: dense in the reference too
+            if w.shape[2] < 16:
+                continue  # input conv (1/3-channel): dense in the
+                # reference's pruned models too (its conv1 stayed dense)
             q["w"] = jnp.asarray(prune_conv_weight(w, sparsity, block))
         elif t == "InnerProduct":
             if w.shape[1] < 32:
@@ -106,7 +109,8 @@ def prune_params(net, params, sparsity, block):
         else:
             continue
         out[n] = q
-    return out
+        pruned_names.append(n)
+    return out, pruned_names
 
 
 def main():
@@ -191,7 +195,7 @@ def main():
 
     for gran, blk in (("unstructured", None), ("block", block)):
         for sp in sparsities:
-            pruned = prune_params(net, base_params, sp, blk)
+            pruned, pruned_names = prune_params(net, base_params, sp, blk)
             acc_pruned = evaluate(test_net, pruned, base_state, ted, tel)
             # masked fine-tune
             solver.params = pruned
@@ -206,11 +210,10 @@ def main():
             aligned = sparse_net.weight_align(solver.params)
             acc_sparse = evaluate(sparse_net, aligned, solver.net_state,
                                   ted, tel)
-            achieved = np.mean([
-                sparsity_of(v["w"]) for k, v in solver.params.items()
-                if isinstance(v, dict) and "w" in v
-                and np.asarray(v["w"]).ndim in (2, 4)
-                and np.asarray(v["w"]).size > 2000])
+            # sparsity over the layers actually targeted (nnz-weighted)
+            tw = [np.asarray(solver.params[n]["w"]) for n in pruned_names]
+            achieved = (sum(float((w == 0).sum()) for w in tw)
+                        / max(1, sum(w.size for w in tw)))
             row = dict(granularity=gran, target_sparsity=sp,
                        achieved_sparsity=round(float(achieved), 4),
                        acc_pruned=round(float(acc_pruned), 4),
@@ -235,7 +238,7 @@ def main():
         from caffe_escoin_tpu.utils.pruning import densify_blocks
 
         sp = max(sparsities)
-        pruned = prune_params(net, base_params, sp, None)  # unstructured
+        pruned, _ = prune_params(net, base_params, sp, None)  # unstructured
         solver.params = pruned
         solver.net_state = base_state
         solver.state = jax.tree_util.tree_map(
