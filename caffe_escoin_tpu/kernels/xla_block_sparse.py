@@ -81,6 +81,13 @@ def best_arm(aligned: AlignedConvWeight, policy) -> str:
     arm = getattr(policy, "xbsp_arm", "auto")
     if arm != "auto":
         return arm
+    # BLOCK-density profitability (the reference's element-density
+    # fallback, `base_conv_layer.cpp:752`, at the granularity the MXU
+    # skips): a weight that is element-sparse but block-dense (e.g. 90%
+    # UNSTRUCTURED pruning -> ~every 128x128 block live) would make the
+    # unroll do ~dense FLOPs in a worse schedule than XLA's conv.
+    if aligned.block_density > 0.5:
+        return "dense"
     kh, kw = aligned.kernel_shape
     if not (kh == kw == 1 and aligned.cout > aligned.cin):
         return "unroll"

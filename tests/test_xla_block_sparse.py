@@ -184,3 +184,27 @@ def test_all_arms_match_oracle_through_dispatch(arm):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_unstructured_pattern_dispatches_dense():
+    """90% UNSTRUCTURED pruning leaves ~every 128x128 block live; the
+    dispatcher must fall back to dense conv (block-density profitability,
+    the reference's base_conv_layer.cpp:752 fallback at MXU granularity)."""
+    rng = np.random.default_rng(8)
+    pol = ExecutionPolicy(block_shape=(128, 128))
+    w = prune_conv_weight(
+        rng.standard_normal((3, 3, 128, 128)).astype(np.float32), 0.9,
+        None)  # element-wise
+    al = weight_align(w, None, policy=pol)
+    assert al.sparsity >= 0.89
+    assert al.block_density > 0.9
+    assert xla_block_sparse.best_arm(al, pol) == "dense"
+    # and the full dispatch still matches the oracle
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 128)).astype(np.float32))
+    out = conv_ops.conv2d(x, al, padding=(1, 1), mode=ConvMode.SCONV,
+                          policy=pol)
+    ref = lax.conv_general_dilated(
+        x, jnp.asarray(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
