@@ -139,3 +139,15 @@ def test_gspmd_param_shardings(rng):
     ref = net.apply(params, x)["prob"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_scaling_harness_two_devices():
+    """tools/scaling.py measures batch-sharded sparse inference on a
+    sub-mesh and reports per-device throughput + efficiency."""
+    from caffe_escoin_tpu.tools.scaling import measure
+
+    r1 = measure("lenet", 1, 4, 0.9, iters=1)
+    r2 = measure("lenet", 2, 4, 0.9, iters=1)
+    assert r1["devices"] == 1 and r2["devices"] == 2
+    assert r2["batch"] == 8
+    assert r1["gnnz_per_s_per_dev"] > 0 and r2["gnnz_per_s_per_dev"] > 0
