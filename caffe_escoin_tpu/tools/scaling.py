@@ -99,6 +99,88 @@ def measure(model: str, n_dev: int, batch_per_dev: int, sparsity: float,
                 gnnz_per_s_per_dev=round(nnz_per_s / 1e9 / n_dev, 2))
 
 
+def measure_halo(n_dev: int, sparsity: float, iters: int, seed: int = 0):
+    """Spatial partitioning (halo exchange) of one sparse conv layer:
+    the H dimension sharded over `model`, (KH-1)/2 boundary rows exchanged
+    via ppermute per step — STRONG scaling over a fixed feature map."""
+    import time as _time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from caffe_escoin_tpu.engine.context import ExecutionPolicy
+    from caffe_escoin_tpu.parallel import halo
+    from caffe_escoin_tpu.sparse.weight_align import weight_align
+    from caffe_escoin_tpu.utils.pruning import prune_conv_weight
+
+    policy = ExecutionPolicy(block_shape=(16, 16), use_pallas=True,
+                             interpret=jax.default_backend() == "cpu",
+                             spmm_tile_m=64)
+    rng = np.random.default_rng(seed)
+    cin = cout = 32
+    h = 16 * n_dev  # H divides the mesh
+    w = 16
+    wt = prune_conv_weight(
+        rng.standard_normal((3, 3, cin, cout)).astype(np.float32), sparsity,
+        (16, 16))
+    aligned = weight_align(wt, rng.standard_normal(cout).astype(np.float32),
+                           policy=policy)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("model",))
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+    fwd = jax.jit(lambda x: halo.spatial_sconv2d(
+        x, aligned, mesh=mesh, padding=(1, 1), policy=policy))
+    jax.block_until_ready(fwd(x))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = _time.perf_counter()
+        jax.block_until_ready(fwd(x))
+        best = min(best, _time.perf_counter() - t0)
+    nnz_work = aligned.stats.nnz * h * w * 2
+    return dict(devices=n_dev, mode="halo", time_s=round(best, 6),
+                gnnz_per_s=round(nnz_work / best / 1e9, 3),
+                gnnz_per_s_per_dev=round(nnz_work / best / 1e9 / n_dev, 3))
+
+
+def measure_tp(n_dev: int, sparsity: float, iters: int, seed: int = 0):
+    """Tensor parallelism: cout-block-sharded BSC SpMM over `model`."""
+    import time as _time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from caffe_escoin_tpu.engine.context import ExecutionPolicy
+    from caffe_escoin_tpu.parallel import tp
+    from caffe_escoin_tpu.sparse.weight_align import weight_align
+    from caffe_escoin_tpu.utils.pruning import prune_conv_weight
+
+    policy = ExecutionPolicy(block_shape=(16, 8), use_pallas=False)
+    rng = np.random.default_rng(seed)
+    cin, cout = 32, 8 * 8 * n_dev  # bn=8, cout blocks divide the mesh
+    wt = prune_conv_weight(
+        rng.standard_normal((3, 3, cin, cout)).astype(np.float32), sparsity,
+        (16, 8))
+    aligned = weight_align(wt, rng.standard_normal(cout).astype(np.float32),
+                           policy=policy)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("model",))
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, cin)).astype(np.float32))
+    fwd = jax.jit(lambda x: tp.tp_conv_lowered(
+        x, aligned, mesh=mesh, padding=(1, 1), policy=policy))
+    jax.block_until_ready(fwd(x))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = _time.perf_counter()
+        jax.block_until_ready(fwd(x))
+        best = min(best, _time.perf_counter() - t0)
+    nnz_work = aligned.stats.nnz * 16 * 16 * 2
+    return dict(devices=n_dev, mode="tp", time_s=round(best, 6),
+                gnnz_per_s=round(nnz_work / best / 1e9, 3),
+                gnnz_per_s_per_dev=round(nnz_work / best / 1e9 / n_dev, 3))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="resnet50")
@@ -106,6 +188,7 @@ def main(argv=None):
     ap.add_argument("--batch_per_dev", type=int, default=4)
     ap.add_argument("--sparsity", type=float, default=0.9)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mode", default="dp", choices=["dp", "halo", "tp"])
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -114,11 +197,16 @@ def main(argv=None):
     avail = len(jax.devices())
     counts = [int(c) for c in args.devices.split(",") if int(c) <= avail]
     log(f"backend {jax.default_backend()}, {avail} devices; measuring "
-        f"{counts} (weak scaling, {args.batch_per_dev}/device)")
+        f"{counts} ({args.mode})")
     rows = []
     for n in counts:
-        r = measure(args.model, n, args.batch_per_dev, args.sparsity,
-                    args.iters)
+        if args.mode == "halo":
+            r = measure_halo(n, args.sparsity, args.iters)
+        elif args.mode == "tp":
+            r = measure_tp(n, args.sparsity, args.iters)
+        else:
+            r = measure(args.model, n, args.batch_per_dev, args.sparsity,
+                        args.iters)
         if rows:
             r["scaling_efficiency"] = round(
                 r["gnnz_per_s_per_dev"] / rows[0]["gnnz_per_s_per_dev"], 3)
@@ -128,8 +216,9 @@ def main(argv=None):
         r["sparsity"] = args.sparsity
         r["backend"] = jax.default_backend()
         rows.append(r)
-        log(f"  {n} dev: {r['samples_per_s']:.1f} samples/s, "
-            f"{r['gnnz_per_s_per_dev']} Gnnz/s/dev, "
+        sps = (f"{r['samples_per_s']:.1f} samples/s, "
+               if "samples_per_s" in r else "")
+        log(f"  {n} dev: {sps}{r['gnnz_per_s_per_dev']} Gnnz/s/dev, "
             f"eff {r['scaling_efficiency']:.0%}")
         if args.out:
             with open(args.out, "a") as f:
