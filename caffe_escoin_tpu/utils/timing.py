@@ -113,3 +113,40 @@ def format_report(result: Dict[str, Any]) -> str:
         f"other={c['other']:.3f}ms total={result['total_ms']:.3f}ms"
     )
     return "\n".join(lines)
+
+
+def debug_info(net, params, inputs, *, state=None, log=print):
+    """Per-layer blob/param norm dump — the reference's `debug_info` mode
+    (`src/caffe/net.cpp:761-774`: "[Forward] Layer <name>, top blob <top>
+    data: <asum>"). Eager per-layer execution; returns the rows."""
+    import numpy as np
+
+    blobs = dict(inputs)
+    if state is None:
+        state = getattr(net, "state0", {})
+    rows = []
+    for layer in net.layers:
+        spec = layer.spec
+        ins = [blobs[b] for b in spec.bottoms]
+        p = params.get(spec.share_params or spec.name, {})
+        if layer.has_state:
+            outs, _ = layer.apply_stateful(
+                p, state.get(spec.name, {}) or layer.init_state(
+                    [tuple(b.shape) for b in ins]),
+                ins, train=False, rng=None)
+        else:
+            outs = layer.apply(p, ins, train=False, rng=None)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        for t, o in zip(spec.tops, outs):
+            blobs[t] = o
+            asum = float(np.mean(np.abs(np.asarray(o))))
+            rows.append({"layer": spec.name, "top": t, "data": asum})
+            log(f"    [Forward] Layer {spec.name}, top blob {t} "
+                f"data: {asum:.6g}")
+        if isinstance(p, dict):
+            for k, v in p.items():
+                if hasattr(v, "shape"):
+                    pn = float(np.mean(np.abs(np.asarray(v))))
+                    rows.append({"layer": spec.name, "param": k, "data": pn})
+    return rows

@@ -86,3 +86,23 @@ def test_cli_dataset_roundtrip(tmp_path):
     dot = str(tmp_path / "net.dot")
     assert cli.main(["draw_net", "--model", "lenet", "--output", dot]) == 0
     assert "digraph" in open(dot).read()
+
+
+def test_debug_info_blob_norms():
+    """net.cpp:761-774 debug_info analogue: per-layer blob/param asum."""
+    import jax
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.nn import Net
+    from caffe_escoin_tpu.utils.timing import debug_info
+
+    builder, _ = ZOO["lenet"]
+    net = Net(builder(num_classes=4))
+    params = net.init(jax.random.PRNGKey(0), {"data": (1, 20, 20, 1)})
+    lines = []
+    rows = debug_info(net, params, {"data": jnp.ones((1, 20, 20, 1))},
+                      log=lines.append)
+    assert any(r.get("top") == "prob" for r in rows)
+    assert any("conv1" in ln for ln in lines)
+    assert all(np.isfinite(r["data"]) for r in rows)
