@@ -1,0 +1,174 @@
+"""Measured per-shape executor autotuning for the sparse conv dispatcher.
+
+The round-2 dispatcher picked the XBSP arm from hand rules derived from
+ResNet-50 profiles (`kernels/xla_block_sparse.best_arm`); on GoogLeNet's
+28x28 reduce-1x1 shapes those rules routed to "unroll" and LOST to the
+dense bf16 baseline (0.59x). The reference has the same problem class —
+its per-shape CUDA-kernel dispatch (`math_functions.cu:589-694`) hardcodes
+shape templates — and the fix here is the one the VERDICT asked for:
+MEASURE each candidate arm once per (shape, pattern) on the device, cache
+the winner, and include the dense bf16 conv itself as a candidate so the
+sparse path can never lose to its own baseline (the never-lose floor).
+
+Measurement happens lazily at trace time: the aligned weights are closed
+over (concrete), so each candidate can be jitted and timed on a synthetic
+input of the real shape as ordinary eager work while the outer trace is
+paused on the Python dispatch line. Results cache in-process and,
+optionally, in a JSON file (``ExecutionPolicy.autotune_cache`` /
+``$CESCOIN_AUTOTUNE_CACHE``) so a deployment ships its table offline.
+
+Enabled by ``ExecutionPolicy(autotune=True)``; off by default (tests and
+CPU meshes keep the zero-compile heuristic path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_CACHE: Dict[str, str] = {}
+_TIMES: Dict[str, Dict[str, float]] = {}  # key -> arm -> seconds (reporting)
+_LOCK = threading.RLock()
+_LOADED_FILES: set = set()
+_MEASURING = threading.local()
+
+ARMS = ("unroll", "gathered", "dense")
+
+
+def _pattern_sig(aligned) -> Tuple[int, int, int, int]:
+    """Cheap pattern signature: arm cost depends on block COUNTS, not on
+    which particular blocks are live."""
+    import jax
+
+    block_row = np.asarray(jax.device_get(aligned.bsc.block_row))
+    bcol_nnz = np.asarray(jax.device_get(aligned.bsc.bcol_nnz))
+    total_live = int(bcol_nnz.sum())
+    union = len({int(block_row[j, s]) for j in range(block_row.shape[0])
+                 for s in range(int(bcol_nnz[j]))})
+    return total_live, union, int(block_row.shape[0]), aligned.bsc.n_brows
+
+
+def cache_key(aligned, x_shape, stride, padding, dilation, dtype) -> str:
+    import jax
+
+    sig = _pattern_sig(aligned)
+    parts = (jax.default_backend(), tuple(x_shape), str(dtype),
+             aligned.kernel_shape, tuple(stride), tuple(padding),
+             tuple(dilation), aligned.cin_pad, aligned.cout,
+             aligned.groups, aligned.bsc.block_shape, sig)
+    return repr(parts)
+
+
+def _load_file(path: str) -> None:
+    with _LOCK:
+        if not path or path in _LOADED_FILES:
+            return
+        _LOADED_FILES.add(path)
+        if os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    _CACHE.update(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                pass
+
+
+def _save_file(path: str) -> None:
+    if not path:
+        return
+    try:
+        with open(path, "w") as fh:
+            json.dump(_CACHE, fh, indent=0)
+    except OSError:
+        pass
+
+
+def measure_arms(aligned, policy, x_shape, stride, padding, dilation,
+                 *, iters: int = 10) -> Dict[str, float]:
+    """Device-time each candidate executor on a synthetic input of the
+    real shape. Returns arm -> seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.kernels import xla_block_sparse as xbs
+    from caffe_escoin_tpu.ops import conv as conv_ops
+    from caffe_escoin_tpu.utils.benchmark import device_time
+
+    dtype = (policy.compute_dtype if policy.compute_dtype is not None
+             else jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(x_shape), jnp.float32
+    ).astype(dtype)
+    wd = aligned.dense.astype(dtype)
+
+    cands = {
+        "unroll": lambda y: xbs.conv(
+            y, aligned, stride=stride, padding=padding, dilation=dilation),
+        "gathered": lambda y: xbs.conv_gathered(
+            y, aligned, stride=stride, padding=padding, dilation=dilation),
+        "dense": lambda y: conv_ops.conv2d_dense(
+            y, wd, aligned.bias, stride=stride, padding=padding,
+            dilation=dilation, groups=aligned.groups),
+    }
+    times = {}
+    for arm, fn in cands.items():
+        try:
+            times[arm] = device_time(fn, x, iters=iters)
+        except Exception:  # arm not executable for this shape: skip it
+            continue
+    return times
+
+
+def choose_arm(aligned, policy, x_shape, stride, padding, dilation,
+               *, log=None) -> Optional[str]:
+    """Cached measured winner for this (shape, pattern); None when
+    measurement is impossible (e.g. called re-entrantly from a candidate's
+    own trace)."""
+    if getattr(_MEASURING, "active", False):
+        return None  # re-entrant call from inside a candidate's trace
+    path = (getattr(policy, "autotune_cache", "")
+            or os.environ.get("CESCOIN_AUTOTUNE_CACHE", ""))
+    _load_file(path)
+    import jax.numpy as jnp
+
+    dtype = (policy.compute_dtype if policy.compute_dtype is not None
+             else jnp.float32)
+    key = cache_key(aligned, x_shape, stride, padding, dilation, dtype)
+    with _LOCK:
+        if key in _CACHE:
+            return _CACHE[key]
+    _MEASURING.active = True
+    try:
+        times = measure_arms(aligned, policy, x_shape, stride, padding,
+                             dilation)
+    finally:
+        _MEASURING.active = False
+    if not times:
+        return None
+    winner = min(times, key=times.get)
+    with _LOCK:
+        _CACHE[key] = winner
+        _TIMES[key] = times
+        _save_file(path)
+    if log is not None:
+        pretty = " ".join(f"{a}={t*1e6:.0f}us" for a, t in sorted(
+            times.items()))
+        log(f"autotune {x_shape} k{aligned.kernel_shape} "
+            f"cout{aligned.cout}: {pretty} -> {winner}")
+    return winner
+
+
+def report() -> Dict[str, Dict[str, float]]:
+    """Measured times for every autotuned key (for bench/docs tables)."""
+    with _LOCK:
+        return {k: dict(v) for k, v in _TIMES.items()}
+
+
+def clear() -> None:
+    with _LOCK:
+        _CACHE.clear()
+        _TIMES.clear()
+        _LOADED_FILES.clear()

@@ -90,6 +90,14 @@ class ExecutionPolicy:
     # on-chip profiling; the reference's per-shape kernel dispatch,
     # `math_functions.cu:589-694`, reborn as a policy rule).
     xbsp_arm: str = "auto"
+    # Measured per-(shape, pattern) arm selection with a dense never-lose
+    # floor (engine/autotune.py): at trace time each candidate arm —
+    # including the dense bf16 conv — is device-timed once and the winner
+    # cached. Supersedes the xbsp_arm="auto" heuristic when on. Off by
+    # default: it compiles 3 candidates per unique conv shape on first
+    # trace (the deployment/bench switch, not the unit-test one).
+    autotune: bool = False
+    autotune_cache: str = ""  # JSON file persisting the measured table
 
     def resolved_mxu_dtype(self):
         if self.mxu_dtype == "auto":

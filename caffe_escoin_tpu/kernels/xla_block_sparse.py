@@ -60,12 +60,18 @@ def union_live_fraction(aligned: AlignedConvWeight) -> float:
     return len(live) / max(1, aligned.bsc.n_brows)
 
 
-def best_arm(aligned: AlignedConvWeight, policy) -> str:
+def best_arm(aligned: AlignedConvWeight, policy, *, x_shape=None,
+             stride=(1, 1), padding=(0, 0), dilation=(1, 1),
+             batch_parallel=True) -> str:
     """Per-shape executor choice: "unroll" | "gathered" | "dense".
 
-    The reference dispatches per shape among its 8 CUDA kernels
-    (`math_functions.cu:589-694`); here the rules come from on-chip
-    profiling of ResNet-50's stride-1 shapes at 70-95% block sparsity:
+    With ``policy.autotune`` on and a concrete input shape, the choice is
+    MEASURED: each candidate arm (including the dense bf16 conv — the
+    never-lose floor) is device-timed once per (shape, pattern) and cached
+    (engine/autotune.py). Otherwise the heuristic below applies, with
+    rules from on-chip profiling of ResNet-50's stride-1 shapes at 70-95%
+    block sparsity (the reference dispatches per shape among its 8 CUDA
+    kernels the same hardcoded way, `math_functions.cu:589-694`):
 
     * k>1 and reduce-1x1 shapes are COMPUTE-bound on the dense baseline —
       the per-column unroll's trace-time block skipping wins (2-3x).
@@ -81,6 +87,13 @@ def best_arm(aligned: AlignedConvWeight, policy) -> str:
     arm = getattr(policy, "xbsp_arm", "auto")
     if arm != "auto":
         return arm
+    if getattr(policy, "autotune", False) and x_shape is not None:
+        from caffe_escoin_tpu.engine import autotune
+
+        got = autotune.choose_arm(aligned, policy, x_shape, stride,
+                                  padding, dilation)
+        if got is not None:
+            return got
     # BLOCK-density profitability (the reference's element-density
     # fallback, `base_conv_layer.cpp:752`, at the granularity the MXU
     # skips): a weight that is element-sparse but block-dense (e.g. 90%
@@ -149,7 +162,8 @@ def spmm(x, bsc, *, bias=None, relu=False):
 
 
 def conv_gathered(x, aligned: AlignedConvWeight, *, stride=(1, 1),
-                  padding=(0, 0), dilation=(1, 1), relu=False):
+                  padding=(0, 0), dilation=(1, 1), relu=False,
+                  residual=None):
     """Block-sparse conv as ONE dense GEMM over gathered live K-blocks
     (the XBSP-G executor).
 
@@ -197,6 +211,8 @@ def conv_gathered(x, aligned: AlignedConvWeight, *, stride=(1, 1),
         out = jnp.zeros((n, ho, wo, aligned.cout), jnp.float32)
         if aligned.bias is not None:
             out = out + aligned.bias
+        if residual is not None:
+            out = out + residual.astype(out.dtype)
         if relu:
             out = jnp.maximum(out, 0.0)
         return out.astype(x.dtype)
@@ -253,16 +269,21 @@ def conv_gathered(x, aligned: AlignedConvWeight, *, stride=(1, 1),
         if b.shape[0] < ncols * bn:
             b = jnp.pad(b, (0, ncols * bn - b.shape[0]))
         out = out + b
+    out = out[..., :aligned.cout]
+    if residual is not None:
+        out = out + residual.astype(out.dtype)
     if relu:
         out = jnp.maximum(out, 0.0)
-    return out.astype(x.dtype)[..., :aligned.cout]
+    return out.astype(x.dtype)
 
 
 def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
-         dilation=(1, 1), relu=False):
+         dilation=(1, 1), relu=False, residual=None):
     """Block-sparse conv via static XLA unroll. x: [N,H,W,Cin] (any float
     dtype; bf16 recommended) -> [N,Ho,Wo,Cout] in x.dtype. Supports any
-    kernel size, stride and dilation (shifted slices subsample freely)."""
+    kernel size, stride and dilation (shifted slices subsample freely).
+    ``residual`` [N,Ho,Wo,Cout] is a fused Eltwise-sum input added per
+    block-column in f32 before the ReLU/cast (nn/fuse.py pass B)."""
     kh, kw = aligned.kernel_shape
     bk, bn = aligned.bsc.block_shape
     n_cin_b = aligned.cin_pad // bk
@@ -309,6 +330,13 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
             if bcol.shape[0] < bn:
                 bcol = jnp.pad(bcol, (0, bn - bcol.shape[0]))
             acc = acc + bcol
+        if residual is not None:
+            rcol = residual[..., j * bn:(j + 1) * bn]
+            if rcol.shape[-1] < bn:
+                rcol = jnp.pad(
+                    rcol, ((0, 0),) * (rcol.ndim - 1)
+                    + ((0, bn - rcol.shape[-1]),))
+            acc = acc + rcol.astype(acc.dtype)
         if relu:
             acc = jnp.maximum(acc, 0.0)
         outs.append(acc.astype(x.dtype))

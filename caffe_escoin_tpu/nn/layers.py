@@ -115,7 +115,11 @@ class ConvolutionLayer(Layer):
         )
 
     def apply(self, params, inputs, *, train, rng):
-        (x,) = inputs
+        x = inputs[0]
+        # fused Eltwise-sum residual (nn/fuse.py pass B): second bottom is
+        # added in the conv epilogue before the fused ReLU
+        residual = (inputs[1] if len(inputs) > 1 and self.p.get("fuse_add")
+                    else None)
         c = self._conf(x.shape)
         fuse_relu = self.p.get("fuse_relu", False) and self.policy.fuse_relu
         cd = self.policy.compute_dtype
@@ -136,16 +140,19 @@ class ConvolutionLayer(Layer):
                 padding=c["pad"], dilation=c["dilation"], groups=c["groups"],
                 relu=fuse_relu,
             )
+            if residual is not None:
+                raise ValueError("fuse_add is 2-D only")
         elif isinstance(params, AlignedConvWeight):
             out = conv_ops.conv2d(
                 x, params, stride=c["stride"], padding=c["pad"],
                 dilation=c["dilation"], relu=fuse_relu, policy=self.policy,
+                residual=residual,
             )
         else:
             out = conv_ops.conv2d_dense(
                 x, params["w"], params.get("b"), stride=c["stride"],
                 padding=c["pad"], dilation=c["dilation"], groups=c["groups"],
-                relu=fuse_relu,
+                relu=fuse_relu, residual=residual,
             )
         if cd is not None and self.policy.cast_back:
             out = out.astype(in_dtype)
@@ -200,6 +207,17 @@ class InnerProductLayer(Layer):
     def apply(self, params, inputs, *, train, rng):
         (x,) = inputs
         x2 = x.reshape(x.shape[0], -1)
+        fuse_relu = self.p.get("fuse_relu", False) and self.policy.fuse_relu
+        cd = self.policy.compute_dtype
+        in_dtype = x.dtype
+        if cd is not None:
+            x2 = x2.astype(cd)
+            params = jax.tree_util.tree_map(
+                lambda l: l.astype(cd)
+                if hasattr(l, "dtype")
+                and jnp.issubdtype(l.dtype, jnp.floating) else l,
+                params,
+            )
         if isinstance(params, AlignedConvWeight):
             aligned = params
             if (
@@ -210,12 +228,16 @@ class InnerProductLayer(Layer):
                 if aligned.cin_pad != aligned.cin:
                     x2 = jnp.pad(x2, ((0, 0), (0, aligned.cin_pad - aligned.cin)))
                 out = linear_ops.linear_sparse(x2, aligned.bsc, aligned.bias,
-                                               policy=self.policy)
+                                               policy=self.policy,
+                                               relu=fuse_relu)
             else:
                 w = aligned.dense.reshape(-1, aligned.cout)
-                out = linear_ops.linear(x2, w, aligned.bias)
+                out = linear_ops.linear(x2, w, aligned.bias, relu=fuse_relu)
         else:
-            out = linear_ops.linear(x2, params["w"], params.get("b"))
+            out = linear_ops.linear(x2, params["w"], params.get("b"),
+                                    relu=fuse_relu)
+        if cd is not None and self.policy.cast_back:
+            out = out.astype(in_dtype)
         return [out]
 
 

@@ -71,16 +71,20 @@ def _bsc_pallas_ok(bsc, policy) -> bool:
     return policy.interpret or pallas_supported(bsc)
 
 
-def _epilogue(out, bias, relu):
+def _epilogue(out, bias, relu, residual=None):
     if bias is not None:
         out = out + bias
+    if residual is not None:
+        # fused Eltwise-sum (nn/fuse.py pass B): the residual add rides the
+        # conv epilogue instead of a separate whole-feature-map pass
+        out = out + residual.astype(out.dtype)
     if relu:
         out = jnp.maximum(out, 0.0)
     return out
 
 
 def conv2d_dense(x, w_hwio, bias=None, *, stride=(1, 1), padding=(0, 0),
-                 dilation=(1, 1), groups=1, relu=False):
+                 dilation=(1, 1), groups=1, relu=False, residual=None):
     """Dense conv: the LOWERED_GEMM mode and the training path."""
     out = lax.conv_general_dilated(
         x,
@@ -91,7 +95,7 @@ def conv2d_dense(x, w_hwio, bias=None, *, stride=(1, 1), padding=(0, 0),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
-    return _epilogue(out, bias, relu)
+    return _epilogue(out, bias, relu, residual)
 
 
 def convnd_dense(x, w, bias=None, *, stride=None, padding=None,
@@ -122,7 +126,8 @@ def convnd_dense(x, w, bias=None, *, stride=None, padding=None,
 
 
 def conv2d_lowered_sparse(x, aligned: AlignedConvWeight, *, stride, padding,
-                          dilation, relu, policy: ExecutionPolicy):
+                          dilation, relu, policy: ExecutionPolicy,
+                          residual=None):
     """im2col + SpMM over the sparse GEMM-view weight."""
     kh, kw = aligned.kernel_shape
     cols, (ho, wo) = im2col(x, (kh, kw), stride=stride, padding=padding,
@@ -156,11 +161,12 @@ def conv2d_lowered_sparse(x, aligned: AlignedConvWeight, *, stride, padding,
     else:
         out2d = spmm_kernels.bsc_spmm(cols2d, aligned.bsc)
     out = out2d.reshape(n, ho, wo, aligned.cout)
-    return _epilogue(out, aligned.bias, relu)
+    return _epilogue(out, aligned.bias, relu, residual)
 
 
 def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
-                 relu, policy: ExecutionPolicy, batch_parallel: bool):
+                 relu, policy: ExecutionPolicy, batch_parallel: bool,
+                 residual=None):
     """Direct sparse convolution (Pallas fast path).
 
     Constraints of the Pallas kernel (mirroring the reference's tuned-kernel
@@ -189,11 +195,19 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
             return conv2d_sconv(
                 xs, aligned, stride=(1, 1), padding=(0, 0),
                 dilation=(1, 1), relu=relu, policy=policy,
-                batch_parallel=batch_parallel)
-        return conv2d_dense(
-            x, aligned.dense.astype(x.dtype), aligned.bias, stride=stride,
-            padding=padding, dilation=dilation, groups=aligned.groups,
-            relu=relu).astype(x.dtype)
+                batch_parallel=batch_parallel, residual=residual)
+        if getattr(policy, "use_xla_sparse", True):
+            return conv2d_dense(
+                x, aligned.dense.astype(x.dtype), aligned.bias, stride=stride,
+                padding=padding, dilation=dilation, groups=aligned.groups,
+                relu=relu, residual=residual).astype(x.dtype)
+        # use_xla_sparse=False (the forced Pallas/lowered benchmark arm):
+        # keep the sparse path alive for strided k>1 via im2col+SpMM
+        # (ADVICE r2 — the dense early-return hid this arm from strided
+        # layers)
+        return conv2d_lowered_sparse(
+            x, aligned, stride=stride, padding=padding, dilation=dilation,
+            relu=relu, policy=policy, residual=residual)
 
     # Primary arm: the XLA-native static block unroll (XBSP). Beats the
     # hand-written Pallas pipelines on every profiled ResNet-50 shape (XLA
@@ -202,21 +216,25 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
     # the sparsity pattern concrete at trace time (aligned weights closed
     # over — the standard inference deployment).
     if xla_block_sparse.supported(aligned, policy):
-        arm = xla_block_sparse.best_arm(aligned, policy)
+        arm = xla_block_sparse.best_arm(
+            aligned, policy, x_shape=x.shape, stride=stride,
+            padding=padding, dilation=dilation,
+            batch_parallel=batch_parallel)
         if arm == "dense":
             # write-bound full-union expand-1x1: XLA's dense conv IS the
             # ceiling (see xla_block_sparse.best_arm)
             return conv2d_dense(
                 x, aligned.dense.astype(x.dtype), aligned.bias,
                 stride=stride, padding=padding, dilation=dilation,
-                groups=aligned.groups, relu=relu).astype(x.dtype)
+                groups=aligned.groups, relu=relu,
+                residual=residual).astype(x.dtype)
         conv_fn = (xla_block_sparse.conv_gathered if arm == "gathered"
                    else xla_block_sparse.conv)
 
-        def _xbsp(y):
+        def _xbsp(y, res=residual):
             return conv_fn(
                 y, aligned, stride=stride, padding=padding,
-                dilation=dilation, relu=relu)
+                dilation=dilation, relu=relu, residual=res)
 
         # SCONV vs SCONV_PAR keep the reference's distinction
         # (`conv_layer.cu:16-35`): SCONV processes the batch image-by-image
@@ -229,7 +247,23 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
             return _xbsp(x)
         import jax
 
-        return jax.lax.map(lambda img: _xbsp(img[None])[0], x)
+        if residual is not None:
+            return jax.lax.map(
+                lambda pair: _xbsp(pair[0][None], pair[1][None])[0],
+                (x, residual))
+        return jax.lax.map(lambda img: _xbsp(img[None], None)[0], x)
+
+    # Remaining arms are Pallas kernels without a residual epilogue input:
+    # run them pre-activation and apply the fused add + ReLU outside (XLA
+    # fuses the tail into one elementwise pass).
+    if residual is not None:
+        out = conv2d_sconv(
+            x, aligned, stride=stride, padding=padding, dilation=dilation,
+            relu=False, policy=policy, batch_parallel=batch_parallel)
+        out = out + residual.astype(out.dtype)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        return out
 
     # Fused-slab direct kernel (v3): native NHWC in/out, activation read
     # once, zero XLA copies around the custom call. Preferred whenever its
@@ -299,6 +333,7 @@ def conv2d(
     relu: bool = False,
     mode: Optional[ConvMode] = None,
     policy: Optional[ExecutionPolicy] = None,
+    residual=None,
 ):
     """Mode-dispatched convolution over an aligned weight."""
     policy = policy or ExecutionPolicy()
@@ -316,14 +351,15 @@ def conv2d(
         return conv2d_dense(
             x, aligned.dense, aligned.bias, stride=stride, padding=padding,
             dilation=dilation, groups=aligned.groups, relu=relu,
+            residual=residual,
         )
     if mode == ConvMode.LOWERED_SPARSE:
         return conv2d_lowered_sparse(
             x, aligned, stride=stride, padding=padding, dilation=dilation,
-            relu=relu, policy=policy,
+            relu=relu, policy=policy, residual=residual,
         )
     return conv2d_sconv(
         x, aligned, stride=stride, padding=padding, dilation=dilation,
         relu=relu, policy=policy,
-        batch_parallel=(mode == ConvMode.SCONV_PAR),
+        batch_parallel=(mode == ConvMode.SCONV_PAR), residual=residual,
     )

@@ -171,6 +171,37 @@ def _fc_rows_chw_to_hwc(w_km: np.ndarray,
     return w_km.reshape(c, h, wd, m).transpose(1, 2, 0, 3).reshape(k, m)
 
 
+# layer types whose output rows keep the producer's (spatial, channel)
+# element order, so the fc-row reorder can look through them to the
+# nearest 4-D producer blob
+_FLATTEN_LIKE = {"Flatten", "Reshape", "Dropout", "ReLU", "Split"}
+
+
+def _trace_fc_bottom_shape(net, bottom: Optional[str], k: int, log=print):
+    """Resolve the spatial (N,H,W,C) shape feeding an fc layer, looking
+    through Flatten/Reshape (whose bottoms keep Caffe's (c,h,w) element
+    order) so the row reorder still applies when the model flattens
+    explicitly before InnerProduct (ADVICE r2: a 2-D bottom silently kept
+    Caffe row order and produced wrong fc outputs)."""
+    shapes = getattr(net, "blob_shapes", {})
+    producers = {t: l.spec for l in net.layers for t in l.spec.tops}
+    seen = 0
+    while bottom is not None and seen < 16:
+        shape = shapes.get(bottom)
+        if shape is not None and len(shape) == 4:
+            return shape
+        spec = producers.get(bottom)
+        if spec is None or spec.type not in _FLATTEN_LIKE or not spec.bottoms:
+            break
+        bottom = spec.bottoms[0]
+        seen += 1
+    if seen:  # there WAS a flatten chain but no 4-D producer behind it
+        log(f"caffemodel: WARNING — fc bottom {bottom!r} is flattened but "
+            f"no 4-D producer found; keeping Caffe (c,h,w) row order "
+            f"(outputs may be permuted)")
+    return None
+
+
 def assign_to_params(net, params: Dict, loaded: Dict[str, Dict],
                      *, strict: bool = False, log=print) -> Dict:
     """CopyTrainedLayersFrom semantics (`net.cpp:769+`): match layers by
@@ -203,14 +234,20 @@ def assign_to_params(net, params: Dict, loaded: Dict[str, Dict],
                 w = w.reshape(w.shape[-2], w.shape[-1])
             w = np.ascontiguousarray(w.T)  # [K, Cout]
             bottom = layer.spec.bottoms[0] if layer.spec.bottoms else None
-            bshape = getattr(net, "blob_shapes", {}).get(bottom)
+            bshape = _trace_fc_bottom_shape(net, bottom, w.shape[0], log=log)
             p["w"] = _fc_rows_chw_to_hwc(w, bshape)
             if len(blobs) > 1 and "b" in p:
                 p["b"] = blobs[1].reshape(-1)
         elif t == "Scale":
-            p["scale"] = blobs[0].reshape(-1)
+            # framework ScaleLayer param keys (nn/layers.py ScaleLayer):
+            # gamma (blobs[0]) / beta (blobs[1])
+            p["gamma"] = blobs[0].reshape(-1)
             if len(blobs) > 1:
-                p["bias"] = blobs[1].reshape(-1)
+                if "beta" not in p:
+                    log(f"caffemodel: WARNING — {name} has a bias blob but "
+                        f"the spec sets bias_term=False; dropping beta")
+                else:
+                    p["beta"] = blobs[1].reshape(-1)
         elif t == "PReLU":
             p["alpha"] = blobs[0].reshape(-1)
         else:
@@ -219,11 +256,19 @@ def assign_to_params(net, params: Dict, loaded: Dict[str, Dict],
             log(f"caffemodel: skipping {name} (type {t}, "
                 f"{len(blobs)} blobs)")
             continue
-        # shape check, then cast into the framework's dtype discipline
+        # shape check, then cast into the framework's dtype discipline.
+        # A key the framework's init never produced means the import rule
+        # and the layer disagree (ADVICE r2: the Scale gamma/beta mismatch
+        # sailed through this loop silently) — that's an error, not a skip.
         for k, v in list(p.items()):
             ref = params[name].get(k) if isinstance(params[name], dict) \
                 else None
-            if ref is not None and tuple(np.shape(ref)) != tuple(np.shape(v)):
+            if ref is None:
+                raise ValueError(
+                    f"{name}.{k}: imported param key not present in the "
+                    f"framework layer's params "
+                    f"({sorted(params[name])}) — import-rule mismatch")
+            if tuple(np.shape(ref)) != tuple(np.shape(v)):
                 raise ValueError(
                     f"{name}.{k}: shape {np.shape(v)} does not match "
                     f"model {tuple(np.shape(ref))}")
