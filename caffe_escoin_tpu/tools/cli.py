@@ -37,15 +37,24 @@ def _build_net(args, include_loss, phase):
     from caffe_escoin_tpu.models import ZOO
     from caffe_escoin_tpu.nn import Net
 
-    if args.model not in ZOO:
-        sys.exit(f"unknown model {args.model!r}; available: {sorted(ZOO)}")
-    builder, input_shapes = ZOO[args.model]
     policy = ExecutionPolicy(
         conv_mode=ConvMode(args.conv_mode),
         block_shape=tuple(args.block_shape),
         sparse_threshold=args.sparse_threshold,
         sconv_threshold=args.sparse_threshold,
     )
+    if args.model.endswith(".prototxt"):
+        # reference NetParameter text config (`caffe train -model x.prototxt`)
+        from caffe_escoin_tpu.tools.prototxt import load_net
+
+        specs, shapes, name = load_net(args.model, phase=phase,
+                                       batch=args.batch)
+        print(f"loaded prototxt net {name!r} ({len(specs)} layers)")
+        return Net(specs, policy=policy, phase=phase), shapes
+    if args.model not in ZOO:
+        sys.exit(f"unknown model {args.model!r}; available: {sorted(ZOO)} "
+                 f"or a .prototxt path")
+    builder, input_shapes = ZOO[args.model]
     specs = builder(num_classes=args.num_classes, include_loss=include_loss)
     net = Net(specs, policy=policy, phase=phase)
     shapes = dict(input_shapes)
@@ -153,7 +162,9 @@ def cmd_test(args):
 
 
 def cmd_time(args):
-    """`caffe time`: per-layer forward timing (`tools/caffe.cpp:374-461`)."""
+    """`caffe time`: per-layer forward AND backward timing
+    (`tools/caffe.cpp:374-461` reports both columns; --no-backward for
+    forward-only, matching `caffe time`'s default of timing both)."""
     import jax.numpy as jnp
 
     from caffe_escoin_tpu.data.datasets import synthetic_source
@@ -167,7 +178,8 @@ def cmd_time(args):
     src = synthetic_source(shapes["data"], seed=args.seed)
     batch = {"data": jnp.asarray(src()["data"])}
     print(format_report(time_net_layerwise(net, params, batch,
-                                           iters=args.iterations)))
+                                           iters=args.iterations,
+                                           backward=args.backward)))
     return 0
 
 
@@ -177,15 +189,42 @@ def cmd_train(args):
     from caffe_escoin_tpu.engine.solver import Solver
     from caffe_escoin_tpu.engine.solvers import SolverConfig
 
-    net, shapes = _build_net(args, include_loss=True, phase="train")
-    cfg = SolverConfig(
-        solver_type=args.solver, base_lr=args.lr, momentum=args.momentum,
-        weight_decay=args.weight_decay, lr_policy=args.lr_policy,
-        gamma=args.gamma, step_size=args.step_size, max_iter=args.iterations,
-    )
-    solver = Solver(net, cfg, snapshot_prefix=args.snapshot_prefix,
-                    snapshot_interval=args.snapshot_interval,
-                    display=args.display)
+    snapshot_prefix = args.snapshot_prefix
+    snapshot_interval = args.snapshot_interval
+    display = args.display
+    if args.solver.endswith(".prototxt"):
+        # reference SolverParameter text config (`caffe train -solver x`)
+        from caffe_escoin_tpu.tools.prototxt import load_solver
+
+        cfg, run = load_solver(args.solver)
+        if run.get("net") and args.model == "lenet":
+            # model not set explicitly: follow the solver's net field,
+            # resolved relative to the solver file's directory (the
+            # reference resolves relative to CWD; both are tried)
+            cand = run["net"]
+            if not os.path.exists(cand):
+                cand = os.path.join(os.path.dirname(args.solver),
+                                    os.path.basename(run["net"]))
+            if os.path.exists(cand):
+                args.model = cand
+        if args.iterations:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, max_iter=args.iterations)
+        snapshot_prefix = run.get("snapshot_prefix") or snapshot_prefix
+        snapshot_interval = run.get("snapshot") or snapshot_interval
+        display = run.get("display") or display
+        net, shapes = _build_net(args, include_loss=True, phase="train")
+    else:
+        net, shapes = _build_net(args, include_loss=True, phase="train")
+        cfg = SolverConfig(
+            solver_type=args.solver, base_lr=args.lr, momentum=args.momentum,
+            weight_decay=args.weight_decay, lr_policy=args.lr_policy,
+            gamma=args.gamma, step_size=args.step_size,
+            max_iter=args.iterations,
+        )
+    solver = Solver(net, cfg, snapshot_prefix=snapshot_prefix,
+                    snapshot_interval=snapshot_interval,
+                    display=display)
     solver.init(shapes)
     solver.install_signal_handlers()
     if args.weights:
@@ -314,9 +353,15 @@ def main(argv=None):
     p_test.add_argument("--layerwise", action="store_true")
     p_test.set_defaults(fn=cmd_test)
     p_time = sub.add_parser("time", parents=[common])
+    p_time.add_argument("--backward", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="also time per-layer backward (caffe time "
+                             "reports both; --no-backward for forward-only)")
     p_time.set_defaults(fn=cmd_time)
     p_train = sub.add_parser("train", parents=[common])
-    p_train.add_argument("--solver", default="sgd")
+    p_train.add_argument("--solver", default="sgd",
+                         help="solver type (sgd|nesterov|adagrad|rmsprop|"
+                              "adadelta|adam) or a solver .prototxt path")
     p_train.add_argument("--lr", type=float, default=0.01)
     p_train.add_argument("--momentum", type=float, default=0.9)
     p_train.add_argument("--weight-decay", type=float, default=0.0)

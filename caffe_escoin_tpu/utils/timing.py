@@ -59,13 +59,21 @@ def time_net_fused(net: Net, params, inputs, *, iters: int = 10) -> float:
     return time_fn(fwd, params, inputs, iters=iters)
 
 
-def time_net_layerwise(net: Net, params, inputs, *, iters: int = 10) -> Dict[str, Any]:
+def time_net_layerwise(net: Net, params, inputs, *, iters: int = 10,
+                       backward: bool = False) -> Dict[str, Any]:
     """Per-layer timing + category buckets. Returns
     {"layers": [{name, type, category, ms, gflops, nnz}], "categories": {...},
-    "total_ms": float}."""
+    "total_ms": float}.
+
+    With ``backward=True`` each row gains ``bwd_ms`` — the per-layer VJP
+    cost (grad w.r.t. params AND bottoms), matching `caffe time`'s
+    forward/backward table (`tools/caffe.cpp:374-461`). Layers whose
+    forward isn't differentiable (ArgMax, Accuracy, data layers) report
+    bwd_ms = 0, like the reference's !layer_needs_backward."""
     blobs = dict(inputs)
     rows: List[Dict[str, Any]] = []
     buckets = {"conv": 0.0, "fc": 0.0, "data": 0.0, "other": 0.0}
+    bwd_buckets = {"conv": 0.0, "fc": 0.0, "data": 0.0, "other": 0.0}
     for layer in net.layers:
         spec = layer.spec
         ins = [blobs[b] for b in spec.bottoms]
@@ -81,6 +89,28 @@ def time_net_layerwise(net: Net, params, inputs, *, iters: int = 10) -> Dict[str
             blobs[t] = o
         row = {"name": spec.name, "type": spec.type,
                "category": layer.category, "ms": ms}
+        if backward:
+            bwd_ms = 0.0
+            if (p or ins) and spec.type not in ("ArgMax", "Accuracy"):
+                def scalar(p, ins, layer=layer):
+                    outs = layer.apply(p, ins, train=False, rng=None)
+                    if not isinstance(outs, (list, tuple)):
+                        outs = [outs]
+                    tot = 0.0
+                    for o in outs:
+                        if jax.numpy.issubdtype(o.dtype, jax.numpy.floating):
+                            tot = tot + jax.numpy.sum(
+                                o.astype(jax.numpy.float32))
+                    return tot
+
+                try:
+                    bwd = jax.jit(jax.grad(scalar, argnums=(0, 1)))
+                    bwd(p, ins)  # compile/trace check
+                    bwd_ms = time_fn(bwd, p, ins, iters=iters)
+                except Exception:
+                    bwd_ms = 0.0
+            row["bwd_ms"] = bwd_ms
+            bwd_buckets[layer.category] += bwd_ms
         if isinstance(p, AlignedConvWeight) and ins:
             n = ins[0].shape[0]
             out_sp = int(np.prod(outs[0].shape[1:-1]))
@@ -90,28 +120,45 @@ def time_net_layerwise(net: Net, params, inputs, *, iters: int = 10) -> Dict[str
             row["nnz_per_s"] = nnz * out_sp * n / (ms * 1e-3)
         rows.append(row)
         buckets[layer.category] += ms
-    return {
+    result = {
         "layers": rows,
         "categories": buckets,
         "total_ms": sum(buckets.values()),
     }
+    if backward:
+        result["categories_backward"] = bwd_buckets
+        result["total_backward_ms"] = sum(bwd_buckets.values())
+    return result
 
 
 def format_report(result: Dict[str, Any]) -> str:
     """`caffe time`-style text report (tools/caffe.cpp:374-461)."""
-    lines = [f"{'layer':<16}{'type':<20}{'cat':<7}{'ms':>9}  extra"]
+    has_bwd = "total_backward_ms" in result
+    hdr = f"{'layer':<16}{'type':<20}{'cat':<7}{'fwd ms':>9}"
+    if has_bwd:
+        hdr += f"{'bwd ms':>9}"
+    lines = [hdr + "  extra"]
     for r in result["layers"]:
         extra = ""
         if "gflops" in r:
             extra = f"{r['gflops']:.1f} GFLOP/s  {r['nnz_per_s']/1e9:.2f} Gnnz/s"
-        lines.append(
-            f"{r['name']:<16}{r['type']:<20}{r['category']:<7}{r['ms']:>9.3f}  {extra}"
-        )
+        line = (f"{r['name']:<16}{r['type']:<20}{r['category']:<7}"
+                f"{r['ms']:>9.3f}")
+        if has_bwd:
+            line += f"{r.get('bwd_ms', 0.0):>9.3f}"
+        lines.append(line + f"  {extra}")
     c = result["categories"]
     lines.append(
         f"[totals] conv={c['conv']:.3f}ms fc={c['fc']:.3f}ms data={c['data']:.3f}ms "
         f"other={c['other']:.3f}ms total={result['total_ms']:.3f}ms"
     )
+    if has_bwd:
+        cb = result["categories_backward"]
+        lines.append(
+            f"[backward] conv={cb['conv']:.3f}ms fc={cb['fc']:.3f}ms "
+            f"data={cb['data']:.3f}ms other={cb['other']:.3f}ms "
+            f"total={result['total_backward_ms']:.3f}ms"
+        )
     return "\n".join(lines)
 
 
