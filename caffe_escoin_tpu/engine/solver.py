@@ -46,6 +46,8 @@ class Solver:
         average_loss: int = 1,
         rng=None,
         reg_overrides: Optional[Dict[str, str]] = None,
+        lr_mults=None,
+        decay_mults=None,
     ):
         self.net = net
         self.test_net = test_net
@@ -70,6 +72,10 @@ class Solver:
         self._losses = []
         self._step_fn = None
         self.reg_overrides = reg_overrides
+        # ParamSpec lr_mult/decay_mult pytrees (caffe.proto:300-310); None
+        # auto-derives from the net's param_specs at init()
+        self.lr_mults = lr_mults
+        self.decay_mults = decay_mults
         self.param_masks = None
 
     # ------------------------------------------------------------------
@@ -91,6 +97,9 @@ class Solver:
         self.params, self.net_state = self.net.init_with_state(
             sub, input_shapes)
         self.state = solvers.init_state(self.cfg, self.params)
+        if self.lr_mults is None and self.decay_mults is None:
+            self.lr_mults, self.decay_mults = solvers.param_multipliers(
+                self.net, self.params)
         return self.params
 
     # ------------------------------------------------------------------
@@ -124,10 +133,11 @@ class Solver:
                 grads = jax.tree_util.tree_map(
                     lambda g: g / cfg.iter_size, grads
                 )
-            grads = solvers.regularize(cfg, params, grads, self.reg_overrides)
+            grads = solvers.regularize(cfg, params, grads, self.reg_overrides,
+                                       decay_mults=self.decay_mults)
             grads = solvers.clip_gradients(cfg, grads)
             new_params, new_state = solvers.update(
-                cfg, params, grads, state, lr, it
+                cfg, params, grads, state, lr, it, lr_mults=self.lr_mults
             )
             if self.param_masks is not None:
                 new_params = jax.tree_util.tree_map(

@@ -61,24 +61,35 @@ class SolverConfig:
 
 
 def regularize(cfg: SolverConfig, params: Pytree, grads: Pytree,
-               reg_overrides: Optional[Dict[str, str]] = None) -> Pytree:
+               reg_overrides: Optional[Dict[str, str]] = None,
+               decay_mults: Optional[Pytree] = None) -> Pytree:
     """Add decay term to gradients. reg_overrides maps layer name -> "L1"/"L2"
-    (the `ParamSpec.regularization_type` analogue, caffe.proto:307-308)."""
+    (the `ParamSpec.regularization_type` analogue, caffe.proto:307-308).
+    decay_mults is a params-congruent pytree of per-blob multipliers
+    (ParamSpec.decay_mult, caffe.proto:300-310; applied as
+    local_decay = weight_decay * decay_mult, `sgd_solver.cpp:144-206` —
+    how Caffe models zero-decay their biases)."""
     if cfg.weight_decay == 0.0:
         return grads
 
-    def leaf(path_name, w, g):
+    def leaf(path_name, w, g, dm=1.0):
         kind = (reg_overrides or {}).get(path_name, cfg.regularization_type)
+        decay = cfg.weight_decay * dm
         if kind == "L1":
-            return g + cfg.weight_decay * jnp.sign(w)
-        return g + cfg.weight_decay * w
+            return g + decay * jnp.sign(w)
+        return g + decay * w
 
-    if reg_overrides:
+    if reg_overrides or decay_mults is not None:
         out = {}
         for name in grads:
-            out[name] = jax.tree_util.tree_map(
-                lambda w, g, n=name: leaf(n, w, g), params[name], grads[name]
-            )
+            if decay_mults is not None and name in decay_mults:
+                out[name] = jax.tree_util.tree_map(
+                    lambda w, g, dm, n=name: leaf(n, w, g, dm),
+                    params[name], grads[name], decay_mults[name])
+            else:
+                out[name] = jax.tree_util.tree_map(
+                    lambda w, g, n=name: leaf(n, w, g),
+                    params[name], grads[name])
         return out
     return jax.tree_util.tree_map(lambda w, g: leaf(None, w, g), params, grads)
 
@@ -105,29 +116,43 @@ def init_state(cfg: SolverConfig, params: Pytree) -> Pytree:
 
 
 def update(cfg: SolverConfig, params: Pytree, grads: Pytree, state: Pytree,
-           lr, it=None):
+           lr, it=None, lr_mults: Optional[Pytree] = None):
     """One solver step. Returns (new_params, new_state). `lr` may be a traced
-    scalar; `it` (1-based iteration) is needed by adam."""
+    scalar; `it` (1-based iteration) is needed by adam.
+
+    ``lr_mults`` is a params-congruent pytree of per-blob LR multipliers
+    (ParamSpec.lr_mult, caffe.proto:300-310): each blob steps with
+    local_rate = lr * lr_mult, matching `sgd_solver.cpp`'s
+    GetLearningRate-per-param — lr_mult 0 freezes a blob, 2 doubles its
+    bias LR (the Caffe convention). Accumulator statistics (adagrad/adam
+    moments) stay unscaled, exactly like the reference (the multiplier
+    applies in ComputeUpdateValue, not to the raw gradient)."""
     tmap = jax.tree_util.tree_map
+    if lr_mults is None:
+        lrs = tmap(lambda p: lr, params)
+    else:
+        lrs = tmap(lambda m: lr * m, lr_mults)
     t = cfg.solver_type
     if t == "sgd":
-        v = tmap(lambda h, g: cfg.momentum * h + lr * g, state["h"], grads)
+        v = tmap(lambda h, g, l: cfg.momentum * h + l * g,
+                 state["h"], grads, lrs)
         return tmap(lambda w, vi: w - vi, params, v), {"h": v}
     if t == "nesterov":
-        v = tmap(lambda h, g: cfg.momentum * h + lr * g, state["h"], grads)
+        v = tmap(lambda h, g, l: cfg.momentum * h + l * g,
+                 state["h"], grads, lrs)
         upd = tmap(lambda vn, vo: (1 + cfg.momentum) * vn - cfg.momentum * vo,
                    v, state["h"])
         return tmap(lambda w, u: w - u, params, upd), {"h": v}
     if t == "adagrad":
         h = tmap(lambda h, g: h + g * g, state["h"], grads)
-        new = tmap(lambda w, g, hi: w - lr * g / (jnp.sqrt(hi) + cfg.delta),
-                   params, grads, h)
+        new = tmap(lambda w, g, hi, l: w - l * g / (jnp.sqrt(hi) + cfg.delta),
+                   params, grads, h, lrs)
         return new, {"h": h}
     if t == "rmsprop":
         d = cfg.rms_decay
         h = tmap(lambda h, g: d * h + (1 - d) * g * g, state["h"], grads)
-        new = tmap(lambda w, g, hi: w - lr * g / (jnp.sqrt(hi) + cfg.delta),
-                   params, grads, h)
+        new = tmap(lambda w, g, hi, l: w - l * g / (jnp.sqrt(hi) + cfg.delta),
+                   params, grads, h, lrs)
         return new, {"h": h}
     if t == "adadelta":
         mom = cfg.momentum
@@ -137,14 +162,58 @@ def update(cfg: SolverConfig, params: Pytree, grads: Pytree, state: Pytree,
             grads, h, state["h2"],
         )
         h2 = tmap(lambda h2, ui: mom * h2 + (1 - mom) * ui * ui, state["h2"], u)
-        return tmap(lambda w, ui: w - lr * ui, params, u), {"h": h, "h2": h2}
+        return (tmap(lambda w, ui, l: w - l * ui, params, u, lrs),
+                {"h": h, "h2": h2})
     if t == "adam":
         b1, b2 = cfg.adam_beta1, cfg.adam_beta2
         m = tmap(lambda m, g: b1 * m + (1 - b1) * g, state["m"], grads)
         v = tmap(lambda v, g: b2 * v + (1 - b2) * g * g, state["v"], grads)
         it = jnp.asarray(1 if it is None else it, jnp.float32)
         corr = jnp.sqrt(1.0 - b2 ** it) / (1.0 - b1 ** it)
-        new = tmap(lambda w, mi, vi: w - lr * corr * mi / (jnp.sqrt(vi) + cfg.delta),
-                   params, m, v)
+        new = tmap(
+            lambda w, mi, vi, l: w - l * corr * mi / (jnp.sqrt(vi) + cfg.delta),
+            params, m, v, lrs)
         return new, {"m": m, "v": v}
     raise ValueError(f"unknown solver {t!r}")
+
+
+# Caffe blob order per layer type (param_specs[i] addresses blobs[i]);
+# default is (weights, bias)
+_BLOB_ORDER = {
+    "Scale": ("gamma", "beta"),
+    "PReLU": ("alpha",),
+    "Parameter": ("w",),
+    "Embed": ("w",),
+}
+
+
+def param_multipliers(net, params):
+    """Derive (lr_mults, decay_mults) pytrees from the net's ParamSpec
+    entries (`spec.params["param_specs"]`, as parsed from prototxt
+    `param { lr_mult decay_mult }` blocks or set on LayerSpecs directly).
+
+    Returns (None, None) when no layer declares multipliers — the common
+    case keeps the scalar-lr fast path."""
+    any_set = False
+    lr_mults: Dict[str, Any] = {}
+    decay_mults: Dict[str, Any] = {}
+    for layer in net.layers:
+        name = layer.spec.name
+        if name not in params or not isinstance(params[name], dict):
+            continue
+        order = _BLOB_ORDER.get(layer.spec.type, ("w", "b"))
+        pspecs = layer.spec.params.get("param_specs") or []
+        lm = {k: 1.0 for k in params[name]}
+        dm = {k: 1.0 for k in params[name]}
+        for i, ps in enumerate(pspecs):
+            if i >= len(order) or order[i] not in params[name]:
+                continue
+            if "lr_mult" in ps or "decay_mult" in ps:
+                any_set = True
+            lm[order[i]] = float(ps.get("lr_mult", 1.0))
+            dm[order[i]] = float(ps.get("decay_mult", 1.0))
+        lr_mults[name] = lm
+        decay_mults[name] = dm
+    if not any_set:
+        return None, None
+    return lr_mults, decay_mults

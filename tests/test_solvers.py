@@ -192,3 +192,77 @@ def test_regularization_l1_l2():
     # per-layer override (ParamSpec.regularization_type analogue)
     gmix = solvers.regularize(cfg2, params, grads, {"l": "L1"})
     np.testing.assert_allclose(np.asarray(gmix["l"]["w"]), [0.1, -0.1], rtol=1e-6)
+
+
+def test_lr_mult_freezes_and_scales():
+    """ParamSpec lr_mult semantics (caffe.proto:300-310): 0 freezes a blob,
+    2 doubles its step — checked analytically for sgd and adam."""
+    for st in ("sgd", "adam"):
+        cfg = SolverConfig(solver_type=st, momentum=0.9)
+        params = {"a": {"w": jnp.array([1.0, 2.0]), "b": jnp.array([0.5])},
+                  "frozen": {"w": jnp.array([3.0])}}
+        grads = {"a": {"w": jnp.array([1.0, 1.0]), "b": jnp.array([1.0])},
+                 "frozen": {"w": jnp.array([1.0])}}
+        mults = {"a": {"w": 1.0, "b": 2.0}, "frozen": {"w": 0.0}}
+        state = solvers.init_state(cfg, params)
+        p1, _ = solvers.update(cfg, params, grads, state, 0.1, it=1,
+                               lr_mults=mults)
+        # frozen blob untouched
+        np.testing.assert_allclose(np.asarray(p1["frozen"]["w"]), [3.0])
+        # bias stepped exactly 2x the weight step
+        dw = float(params["a"]["w"][0] - p1["a"]["w"][0])
+        db = float(params["a"]["b"][0] - p1["a"]["b"][0])
+        np.testing.assert_allclose(db, 2 * dw, rtol=1e-6)
+
+
+def test_decay_mult_zero_skips_bias_decay():
+    """decay_mult 0 (the Caffe bias convention) must remove the decay term
+    for that blob only."""
+    cfg = SolverConfig(solver_type="sgd", momentum=0.0, weight_decay=0.1)
+    params = {"a": {"w": jnp.array([2.0]), "b": jnp.array([4.0])}}
+    grads = {"a": {"w": jnp.array([0.0]), "b": jnp.array([0.0])}}
+    dmults = {"a": {"w": 1.0, "b": 0.0}}
+    g = solvers.regularize(cfg, params, grads, decay_mults=dmults)
+    np.testing.assert_allclose(np.asarray(g["a"]["w"]), [0.2], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g["a"]["b"]), [0.0])
+
+
+def test_param_multipliers_from_specs_end_to_end():
+    """Solver auto-derives multipliers from LayerSpec param_specs (the
+    prototxt `param { lr_mult }` path) and the frozen layer stays put."""
+    from caffe_escoin_tpu.nn import LayerSpec
+
+    specs = [
+        LayerSpec("fc1", "InnerProduct", ("data",),
+                  params=dict(num_output=8,
+                              param_specs=[{"lr_mult": 0.0,
+                                            "decay_mult": 0.0},
+                                           {"lr_mult": 0.0,
+                                            "decay_mult": 0.0}])),
+        LayerSpec("relu1", "ReLU", ("fc1",), tops=("r1",)),
+        LayerSpec("fc2", "InnerProduct", ("r1",),
+                  params=dict(num_output=4)),
+        LayerSpec("loss", "SoftmaxWithLoss", ("fc2", "label")),
+    ]
+    net = Net(specs, phase="train")
+    cfg = SolverConfig(solver_type="sgd", base_lr=0.1, momentum=0.0,
+                       weight_decay=0.01)
+    solver = Solver(net, cfg, display=0)
+    solver.init({"data": (8, 16), "label": (8,)})
+    assert solver.lr_mults["fc1"]["w"] == 0.0
+    assert solver.lr_mults["fc2"]["w"] == 1.0
+    w0 = np.asarray(solver.params["fc1"]["w"]).copy()
+    rng = np.random.default_rng(0)
+
+    def src():
+        while True:
+            yield {"data": jnp.asarray(rng.standard_normal((8, 16)),
+                                       jnp.float32),
+                   "label": jnp.asarray(rng.integers(0, 4, 8), jnp.float32)}
+
+    solver.step(src(), 3, log=lambda *a: None)
+    np.testing.assert_array_equal(np.asarray(solver.params["fc1"]["w"]), w0)
+    assert not np.array_equal(np.asarray(solver.params["fc2"]["w"]),
+                              np.zeros(1))
+    # fc2 did move
+    assert float(np.abs(np.asarray(solver.params["fc2"]["w"])).sum()) > 0
