@@ -75,23 +75,53 @@ def spatial_conv2d(x, w, bias=None, *, mesh: Mesh, kernel: Tuple[int, int],
 
 
 def spatial_sconv2d(x, aligned, *, mesh: Mesh, padding, policy,
-                    axis_name: str = "model", relu: bool = False):
-    """Spatially-partitioned DIRECT sparse conv: halo exchange + the Pallas
-    sconv kernel per shard (zero internal padding — the halo provides it).
+                    axis_name: str = "model", relu: bool = False,
+                    stride: Tuple[int, int] = (1, 1),
+                    engine: str = "auto"):
+    """Spatially-partitioned DIRECT sparse conv: halo exchange + a sparse
+    executor per shard (zero internal H padding — the halo provides it).
 
-    The kernel runs with padding=(0, pw) on the extended shard, so its
-    flattened-spatial formulation is untouched; only the H extent changes.
+    Engines (``engine``): "auto" routes through the full dispatcher
+    (ops/conv.conv2d_sconv → XBSP unroll/gathered, the performance-bearing
+    arms — r2 VERDICT item 8); "pallas" forces the v2 Pallas kernel
+    (stride-1 only). Either way the per-shard op sees the halo-extended
+    slab with padding=(0, pw), so its formulation is untouched.
+
+    Hard edges handled (SURVEY §7 flagged these): stride>1 needs each
+    shard's row count divisible by the stride so the downsample phase is
+    shard-invariant — the local output start j'*s - ph lands at extended
+    row j'*s regardless of the shard's global offset. Grouped conv is
+    block-diagonal in the GEMM view (weight_align expands it), with no
+    spatial interaction, so the halo math is unchanged.
     """
-    from caffe_escoin_tpu.kernels import sconv_pallas
-
     kh, kw = aligned.kernel_shape
     ph, pw = padding
-    assert ph == (kh - 1) // 2
+    sh, sw = stride
+    assert ph == (kh - 1) // 2, "spatial partitioning needs 'same' H padding"
+    n_shards = mesh.shape[axis_name]
+    h_local = x.shape[1] // n_shards
+    if h_local % sh:
+        raise ValueError(
+            f"stride {sh} needs per-shard rows ({h_local}) divisible by it")
 
     def fn(x_l):
         ext = halo_exchange(x_l, ph, axis_name)
-        return sconv_pallas.sconv(ext, aligned, padding=(0, pw), relu=relu,
-                                  policy=policy)
+        if engine == "pallas":
+            from caffe_escoin_tpu.kernels import sconv_pallas
+
+            assert stride == (1, 1), "pallas spatial engine is stride-1"
+            out = sconv_pallas.sconv(ext, aligned, padding=(0, pw),
+                                     relu=relu, policy=policy)
+        else:
+            from caffe_escoin_tpu.ops import conv as conv_ops
+
+            out = conv_ops.conv2d_sconv(
+                ext, aligned, stride=stride, padding=(0, pw),
+                dilation=(1, 1), relu=relu, policy=policy,
+                batch_parallel=True)
+        # the extended slab can admit a trailing partial window the global
+        # conv doesn't have; keep exactly the shard's output rows
+        return out[:, : x_l.shape[1] // sh]
 
     # check_vma off: pallas_call outputs carry no varying-axis metadata
     return jax.shard_map(

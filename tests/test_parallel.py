@@ -151,3 +151,80 @@ def test_scaling_harness_two_devices():
     assert r1["devices"] == 1 and r2["devices"] == 2
     assert r2["batch"] == 8
     assert r1["gnnz_per_s_per_dev"] > 0 and r2["gnnz_per_s_per_dev"] > 0
+
+
+@requires_8
+@pytest.mark.parametrize("shards", [2, 4, 8])
+def test_halo_xbsp_engine_matches_dense(rng, shards):
+    """The performance-bearing XBSP arm inside the spatial partition
+    (r2 VERDICT item 8): 2/4/8-way H shards vs the single-device oracle."""
+    mesh = mesh_lib.make_mesh(data=8 // shards, model=shards)
+    policy = ExecutionPolicy(block_shape=(8, 8))
+    w = prune_conv_weight(
+        rng.standard_normal((3, 3, 16, 32)).astype(np.float32), 0.8, (1, 8))
+    b = rng.standard_normal(32).astype(np.float32)
+    aligned = weight_align(w, b, policy=policy)
+    x = rng.standard_normal((2, 16, 8, 16)).astype(np.float32)
+    out = halo.spatial_sconv2d(jnp.asarray(x), aligned, mesh=mesh,
+                               padding=(1, 1), policy=policy, engine="auto")
+    ref = conv2d_reference(x, w, b, padding=(1, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+@requires_8
+@pytest.mark.parametrize("shards", [2, 4])
+@pytest.mark.parametrize("k,pad", [(3, 1), (1, 0)])
+def test_halo_stride2_at_partition_boundaries(rng, shards, k, pad):
+    """Stride-2 across shard boundaries (SURVEY §7 hard part): the
+    downsample phase must be shard-invariant. k3p1s2 (stage-entry 3x3) and
+    k1p0s2 (ResNet branch1 projection) vs the single-device oracle."""
+    mesh = mesh_lib.make_mesh(data=8 // shards, model=shards)
+    policy = ExecutionPolicy(block_shape=(8, 8))
+    w = prune_conv_weight(
+        rng.standard_normal((k, k, 16, 32)).astype(np.float32), 0.8, (1, 8))
+    b = rng.standard_normal(32).astype(np.float32)
+    aligned = weight_align(w, b, policy=policy)
+    x = rng.standard_normal((2, 16, 8, 16)).astype(np.float32)
+    out = halo.spatial_sconv2d(jnp.asarray(x), aligned, mesh=mesh,
+                               padding=(pad, pad), policy=policy,
+                               stride=(2, 2))
+    ref = conv2d_reference(x, w, b, stride=(2, 2), padding=(pad, pad))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+@requires_8
+@pytest.mark.parametrize("shards", [2, 4])
+def test_halo_grouped_conv_at_partition_boundaries(rng, shards):
+    """Grouped conv (block-diagonal GEMM view) under spatial partitioning
+    (SURVEY §7 hard part) vs the single-device oracle."""
+    mesh = mesh_lib.make_mesh(data=8 // shards, model=shards)
+    policy = ExecutionPolicy(block_shape=(8, 8))
+    g = 2
+    w = prune_conv_weight(
+        rng.standard_normal((3, 3, 8, 32)).astype(np.float32), 0.75, (1, 8))
+    b = rng.standard_normal(32).astype(np.float32)
+    aligned = weight_align(w, b, groups=g, policy=policy)
+    x = rng.standard_normal((2, 16, 8, 16)).astype(np.float32)
+    out = halo.spatial_sconv2d(jnp.asarray(x), aligned, mesh=mesh,
+                               padding=(1, 1), policy=policy)
+    ref = conv2d_reference(x, w, b, padding=(1, 1), groups=g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+@requires_8
+def test_halo_stride_residual_shape_guard():
+    """Per-shard rows not divisible by the stride must be rejected loudly."""
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    policy = ExecutionPolicy(block_shape=(8, 8))
+    w = prune_conv_weight(
+        np.random.default_rng(0).standard_normal((3, 3, 8, 16)).astype(
+            np.float32), 0.8, (1, 8))
+    aligned = weight_align(w, None, policy=policy)
+    x = jnp.zeros((1, 12, 8, 8))  # 12 rows / 4 shards = 3, not divisible by 2
+    with pytest.raises(ValueError):
+        halo.spatial_sconv2d(x, aligned, mesh=mesh, padding=(1, 1),
+                             policy=policy, stride=(2, 2))
