@@ -132,3 +132,154 @@ def block_permutation(
 def permute_conv_weight(w_hwio: np.ndarray, cin_perm, cout_perm) -> np.ndarray:
     """Apply channel permutations to a conv weight [KH,KW,Cin,Cout]."""
     return np.asarray(w_hwio)[:, :, cin_perm][:, :, :, cout_perm]
+
+
+# ---------------------------------------------------------------------
+# graph-level deployment of an unstructured checkpoint
+# ---------------------------------------------------------------------
+
+# layer types that preserve channel identity/order between a producer's
+# cout and a downstream consumer's cin (BatchNorm/Scale are per-channel
+# and COULD be permuted along, but need their state/params permuted too —
+# out of scope for the greedy pass, so chains through them are skipped)
+CHANNEL_PRESERVING = {"ReLU", "PReLU", "Dropout", "Pooling", "Split",
+                      "Flatten"}
+_WEIGHT_TYPES = ("Convolution", "ConvolutionReLU", "EscConvolution",
+                 "InnerProduct")
+
+
+def find_permutable_pairs(net):
+    """(producer_layer, consumer_layer) pairs whose channel permutation is
+    FREE to deploy: producer conv/fc -> (channel-preserving, single-consumer
+    hops) -> consumer conv/fc, both ungrouped."""
+    consumers = {}
+    for layer in net.layers:
+        for b in layer.spec.bottoms:
+            consumers.setdefault(b, []).append(layer)
+    pairs = []
+    for layer in net.layers:
+        if layer.spec.type not in _WEIGHT_TYPES:
+            continue
+        if layer.spec.params.get("group", 1) != 1:
+            continue  # per-group perms not supported: skip
+        blob = layer.spec.tops[0]
+        hops = 0
+        while hops < 8:
+            cons = consumers.get(blob, [])
+            if len(cons) != 1:
+                break
+            nxt = cons[0]
+            if nxt.spec.type in _WEIGHT_TYPES:
+                if nxt.spec.params.get("group", 1) == 1:
+                    pairs.append((layer, nxt))
+                break
+            if nxt.spec.type not in CHANNEL_PRESERVING:
+                break
+            blob = nxt.spec.tops[0]
+            hops += 1
+    return pairs
+
+
+def _apply_cout_perm(p, perm):
+    """Permute a producer's output channels (weights last dim + bias)."""
+    q = dict(p)
+    q["w"] = np.asarray(p["w"])[..., perm]
+    if "b" in p:
+        q["b"] = np.asarray(p["b"])[perm]
+    return q
+
+
+def _apply_cin_perm(p, perm, layer, blob_shapes):
+    """Permute a consumer's input channels. Conv: weight axis 2. FC fed by
+    a 4-D blob: rows are (h, w, c)-flattened — permute the c stratum."""
+    q = dict(p)
+    w = np.asarray(p["w"])
+    if layer.spec.type == "InnerProduct":
+        bshape = blob_shapes.get(layer.spec.bottoms[0])
+        if bshape is not None and len(bshape) == 4:
+            _, h, wd, c = bshape
+            k, m = w.shape
+            assert k == h * wd * c, (k, bshape)
+            q["w"] = w.reshape(h, wd, c, m)[:, :, perm].reshape(k, m)
+        else:
+            q["w"] = w[perm]
+    else:
+        q["w"] = w[:, :, perm, :]
+    return q
+
+
+def deploy_unstructured(net, params, *, block_shape=(128, 128),
+                        min_density=0.05, layers=None, log=None):
+    """Deploy an unstructured-sparse checkpoint on block-skipping MXU
+    executors: greedy channel permutation (cout of each permutable
+    producer, propagated for free into its consumer's cin) concentrating
+    the survivors into fewer live blocks, then block densification
+    (zeroing sub-``min_density`` blocks). Pair with masked fine-tuning to
+    recover the densification loss.
+
+    ``layers``: names eligible for permutation/densification (default: all
+    weighted layers); consumers outside the set still receive the
+    (lossless) cin permutation. Returns (new_params, report) where report
+    carries per-layer live-block and extra-zeroed stats — the evidence
+    table of docs/EXPERIMENTS.md."""
+    from caffe_escoin_tpu.sparse.weight_align import gemm_view
+    from caffe_escoin_tpu.utils.pruning import densify_blocks
+
+    blob_shapes = getattr(net, "blob_shapes", {})
+    out = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in params.items()}
+    report = {"permuted": [], "densified": [], "block_shape": block_shape,
+              "min_density": min_density}
+    eligible = set(layers) if layers is not None else {
+        l.spec.name for l in net.layers if l.spec.type in _WEIGHT_TYPES}
+
+    for prod, cons in find_permutable_pairs(net):
+        pn, cn = prod.spec.name, cons.spec.name
+        if pn not in eligible or pn not in out or cn not in out:
+            continue
+        p = out[pn]
+        if not isinstance(p, dict) or "w" not in p:
+            continue
+        w = np.asarray(p["w"])
+        if w.ndim == 4:
+            kh, kw = w.shape[:2]
+            wmat = gemm_view(w)
+            offsets = kh * kw
+        else:
+            wmat = w
+            offsets = 1
+        _, cout_perm, stats = block_permutation(
+            wmat, block_shape, kernel_offsets=offsets, optimize_rows=False)
+        if stats["blocks_after"] >= stats["blocks_before"]:
+            continue  # permutation did not help: leave identity
+        out[pn] = _apply_cout_perm(p, cout_perm)
+        out[cn] = _apply_cin_perm(out[cn], cout_perm, cons, blob_shapes)
+        row = dict(layer=pn, consumer=cn, **stats)
+        report["permuted"].append(row)
+        if log:
+            log(f"  permute {pn}->{cn}: live blocks "
+                f"{stats['blocks_before']} -> {stats['blocks_after']} "
+                f"(-{stats['reduction']:.1%})")
+
+    for layer in net.layers:
+        n = layer.spec.name
+        if n not in eligible or n not in out:
+            continue
+        p = out[n]
+        if not isinstance(p, dict) or "w" not in p:
+            continue
+        w = np.asarray(p["w"])
+        if w.ndim == 4:
+            wmat = gemm_view(w)
+            wd, dstats = densify_blocks(wmat, block_shape, min_density)
+            kh, kw, cin, cout = w.shape
+            out[n] = dict(p, w=wd.reshape(kh, kw, cin, cout))
+        else:
+            wd, dstats = densify_blocks(w, block_shape, min_density)
+            out[n] = dict(p, w=wd)
+        report["densified"].append(dict(layer=n, **dstats))
+        if log:
+            log(f"  densify {n}: block density "
+                f"{dstats['block_density']:.2f}, "
+                f"+{dstats['extra_zeroed_frac']:.1%} zeroed")
+    return out, report

@@ -65,12 +65,15 @@ def evaluate(net, params, net_state, data, labels, batch=64):
 
     fwd = jax.jit(lambda p, ns, b: net.apply(p, b, state=ns, train=False,
                                              return_blobs=True))
+    head = next((l.spec.bottoms[0] for l in net.layers
+                 if l.spec.type in ("SoftmaxWithLoss", "Softmax",
+                                    "Accuracy")), "ip1")
     correct = total = 0
     for i in range(0, len(data) - batch + 1, batch):
         blobs = fwd(params, net_state,
                     {"data": jnp.asarray(data[i:i + batch]),
                      "label": jnp.asarray(labels[i:i + batch])})
-        logits = np.asarray(blobs["ip2" if "ip2" in blobs else "ip1"])
+        logits = np.asarray(blobs[head])
         correct += (logits.argmax(-1) == labels[i:i + batch]).sum()
         total += batch
     return correct / max(1, total)
@@ -116,7 +119,8 @@ def prune_params(net, params, sparsity, block):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="lenet",
-                    choices=["lenet", "cifar10_quick", "cifar10_bn"])
+                    choices=["lenet", "cifar10_quick", "cifar10_bn",
+                             "alexnet"])
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--finetune_iters", type=int, default=300)
     ap.add_argument("--batch", type=int, default=64)
@@ -146,7 +150,13 @@ def main():
     from caffe_escoin_tpu.utils.pruning import masks_of, sparsity_of
 
     os.makedirs(args.workdir, exist_ok=True)
-    builder, input_shapes = ZOO[args.model]
+    builder_raw, input_shapes = ZOO[args.model]
+
+    def builder(**kw):
+        try:
+            return builder_raw(num_classes=10, **kw)
+        except TypeError:
+            return builder_raw(**kw)
     size = input_shapes["data"][1]
     channels = input_shapes["data"][3]
     (trd, trl), (ted, tel) = load_digits_upscaled(size, channels)
@@ -225,56 +235,55 @@ def main():
             log(f"{gran} @ {sp:.0%}: pruned {acc_pruned:.4f} -> "
                 f"finetuned {acc_ft:.4f} -> sparse-exec {acc_sparse:.4f}")
 
-    # ---- unstructured-checkpoint DEPLOYMENT pipeline (lenet-family nets):
-    # permute ip1's output channels to concentrate its unstructured pattern
-    # into blocks (propagated for free into ip2's input rows), densify
-    # sub-threshold blocks, masked-fine-tune, and score through the
-    # block-sparse executors. The accuracy delta + achieved block density IS
+    # ---- unstructured-checkpoint DEPLOYMENT pipeline (any model):
+    # greedy channel permutations (producer cout propagated free into the
+    # consumer's cin) concentrate each unstructured pattern into fewer
+    # live blocks, densify zeroes the sub-threshold blocks, masked
+    # fine-tuning recovers the loss, and the block-sparse executors score
+    # the result. The accuracy delta + achieved live-block reduction IS
     # the cost of converting the reference's unstructured workload into
     # MXU-executable structure (docs/PERFORMANCE.md "Unstructured sparsity
     # on TPU").
-    if "ip1" in base_params and "ip2" in base_params:
-        from caffe_escoin_tpu.sparse.permute import block_permutation
-        from caffe_escoin_tpu.utils.pruning import densify_blocks
+    if True:
+        from caffe_escoin_tpu.sparse.permute import deploy_unstructured
 
         sp = max(sparsities)
-        pruned, _ = prune_params(net, base_params, sp, None)  # unstructured
+        pruned, pruned_names = prune_params(net, base_params, sp, None)
         solver.params = pruned
         solver.net_state = base_state
         solver.state = jax.tree_util.tree_map(
             jnp.zeros_like, base_solver_state)
         solver.set_param_masks(masks_of(pruned))
         solver.step(train_iter(), args.finetune_iters, log=lambda m: None)
-        p = dict(solver.params)
-        w1 = np.asarray(p["ip1"]["w"])
-        _, cout_perm, pstats = block_permutation(
-            w1, block, optimize_rows=False)
-        w1p = w1[:, cout_perm]
-        w1d, dstats = densify_blocks(w1p, block, min_density=0.05)
-        q1 = dict(p["ip1"]); q1["w"] = jnp.asarray(w1d)
-        if "b" in q1:
-            q1["b"] = jnp.asarray(np.asarray(q1["b"])[cout_perm])
-        q2 = dict(p["ip2"])
-        q2["w"] = jnp.asarray(np.asarray(p["ip2"]["w"])[cout_perm])
-        p["ip1"], p["ip2"] = q1, q2
+        # deployment block shape: the experiment's block for small nets,
+        # the MXU-native 128x128 when the layers are big enough
+        dep_block = block
+        p, dep = deploy_unstructured(
+            net, solver.params, block_shape=dep_block, min_density=0.05,
+            layers=pruned_names, log=log)
         solver.params = p
         solver.set_param_masks(masks_of(p))
         solver.step(train_iter(), args.finetune_iters, log=lambda m: None)
         aligned = sparse_net.weight_align(solver.params)
         acc_dep = evaluate(sparse_net, aligned, solver.net_state, ted, tel)
+        blocks_before = sum(r["blocks_before"] for r in dep["permuted"])
+        blocks_after = sum(r["blocks_after"] for r in dep["permuted"])
+        extra_zeroed = (float(np.mean([r["extra_zeroed_frac"]
+                                       for r in dep["densified"]]))
+                        if dep["densified"] else 0.0)
+        bd = (float(np.mean([r["block_density"] for r in dep["densified"]]))
+              if dep["densified"] else 1.0)
         results["unstructured_deployment"] = dict(
             sparsity=sp,
-            blocks_before=pstats["blocks_before"],
-            blocks_after_permute=pstats["blocks_after"],
-            block_density_after_densify=dstats["block_density"],
-            extra_zeroed_frac=dstats["extra_zeroed_frac"],
-            acc_after_pipeline=round(float(acc_dep), 4))
-        log(f"unstructured deployment @ {sp:.0%}: ip1 live blocks "
-            f"{pstats['blocks_before']} -> permute "
-            f"{pstats['blocks_after']} -> densify bd="
-            f"{dstats['block_density']:.2f} "
-            f"(+{dstats['extra_zeroed_frac']:.1%} zeroed), "
-            f"acc {acc_dep:.4f}")
+            blocks_before=blocks_before,
+            blocks_after_permute=blocks_after,
+            block_density_after_densify=round(bd, 4),
+            extra_zeroed_frac=round(extra_zeroed, 4),
+            acc_after_pipeline=round(float(acc_dep), 4),
+            per_layer=dep)
+        log(f"unstructured deployment @ {sp:.0%}: live blocks "
+            f"{blocks_before} -> permute {blocks_after} -> densify bd="
+            f"{bd:.2f} (+{extra_zeroed:.1%} zeroed), acc {acc_dep:.4f}")
 
     md = [f"## {args.model} on digits (dense acc {dense_acc:.4f}, "
           f"{args.iters} iters)",
@@ -304,7 +313,7 @@ def main():
         with open(args.report, "a") as f:
             f.write(report + "\n\n")
         with open(args.report + ".json", "a") as f:
-            f.write(json.dumps(results) + "\n")
+            f.write(json.dumps(results, default=float) + "\n")
     print(report)
 
 
