@@ -304,12 +304,18 @@ def run_fc(args):
         x = jnp.asarray(
             rng.standard_normal((args.batch, k)).astype(np.float32) * 0.1)
         xb = x.astype(jnp.bfloat16)
-        d32 = lambda y: jnp.dot(y, wj)  # noqa: E731
-        dbf = lambda y: jnp.dot(y, wb)  # noqa: E731
+        # dense weights passed as ARGUMENTS: closing a 25088x4096 f32
+        # matrix into the jit would bake it into the serialized HLO as a
+        # literal and blow the remote-compile relay's request limit
+        # (HTTP 413 — the silent killer of the r2 suite's fc/vgg steps).
+        # The sparse arm still closes over its (10x smaller) block payloads
+        # — pattern concreteness is what the XBSP unroll needs.
+        d32 = lambda y, w: jnp.dot(y, w)  # noqa: E731
+        dbf = lambda y, w: jnp.dot(y, w)  # noqa: E731
         sp = lambda y: xbs.spmm(y, bsc)  # noqa: E731
-        err = float(jnp.max(jnp.abs(sp(xb).astype(jnp.float32) - d32(x))))
-        tf = device_time(d32, x, iters=args.repeats)
-        tb = device_time(dbf, xb, iters=args.repeats)
+        err = float(jnp.max(jnp.abs(sp(xb).astype(jnp.float32) - d32(x, wj))))
+        tf = device_time(d32, x, wj, iters=args.repeats)
+        tb = device_time(dbf, xb, wb, iters=args.repeats)
         ts = device_time(sp, xb, iters=args.repeats)
         tot["f32"] += tf
         tot["bf16"] += tb
@@ -422,16 +428,23 @@ def run_e2e(args):
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         shapes["data"]).astype(np.float32) * 0.1)
 
-    fwd_d = net_d.inference_fn(params_d)
-    fwd_db = net_db.inference_fn(params_db)
+    # dense arms take params as a jit ARGUMENT (the standard dense
+    # deployment shape; also keeps VGG-scale f32 weights out of the
+    # serialized HLO — closed-over literals blow the remote-compile
+    # relay's request limit). The sparse arm closes over its aligned
+    # weights: trace-time pattern concreteness is what enables XBSP, and
+    # only the (pruned) payloads it actually reads reach the HLO.
+    fwd_d = jax.jit(lambda p, i: net_d.apply(p, i))
+    fwd_db = jax.jit(lambda p, i: net_db.apply(p, i))
     fwd_s = net_s.inference_fn(aligned)
 
     def first(out):
         return out[next(iter(out))]
 
-    td = device_time(lambda y: first(fwd_d({"data": y})), x, iters=args.repeats)
-    tdb = device_time(lambda y: first(fwd_db({"data": y})), x,
-                      iters=args.repeats)
+    td = device_time(lambda p, y: first(fwd_d(p, {"data": y})), params_d, x,
+                     iters=args.repeats)
+    tdb = device_time(lambda p, y: first(fwd_db(p, {"data": y})), params_db,
+                      x, iters=args.repeats)
     ts = device_time(lambda y: first(fwd_s({"data": y})), x,
                      iters=args.repeats)
     log(f"e2e {args.model} batch {args.batch}: dense-f32 {td*1e3:.2f}ms "
