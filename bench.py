@@ -149,9 +149,16 @@ def run_per_layer(args):
     tot = {"f32": 0.0, "bf16": 0.0, "sp": 0.0}
     total_nnz_work = 0.0
     for (h, w, cin, cout, k, s, p, g), count in items:
-        x = jnp.asarray(
+        # 4 distinct input buffers, cycled across timing iterations: on
+        # this TPU, repeating one module on one buffer set leaves operands
+        # VMEM-resident across executions, under-reporting memory-bound
+        # layers by up to ~2x vs their HBM roofline (warm-VMEM hazard; see
+        # utils/benchmark.device_time). A layer inside a real net reads its
+        # input cold — the rest of the network evicts it between uses.
+        xvars = [jnp.asarray(
             rng.standard_normal((args.batch, h, w, cin)).astype(np.float32)
-            * 0.1)
+            * 0.1) for _ in range(4)]
+        x = xvars[0]
         wt = rng.standard_normal((k, k, cin // g, cout)).astype(
             np.float32) * 0.05
         wp = prune_conv_weight(wt, args.sparsity, block)
@@ -159,6 +166,8 @@ def run_per_layer(args):
         wj = jnp.asarray(wp)
         wb = wj.astype(jnp.bfloat16)
         xb = x.astype(jnp.bfloat16)
+        xbvars = [(xv.astype(jnp.bfloat16),) for xv in xvars]
+        xfvars = [(xv,) for xv in xvars]
         pad = (p, p)
 
         def dense_f32(y):
@@ -189,14 +198,16 @@ def run_per_layer(args):
         # magnitude vs a highest-precision reference)
         err = float(jnp.max(jnp.abs(
             sparse(xb).astype(jnp.float32) - dense_f32(x))))
-        tf = device_time(dense_f32, x, iters=args.repeats)
-        tb = device_time(dense_bf16, xb, iters=args.repeats)
+        reps = max(args.repeats, 8)
+        tf = device_time(dense_f32, x, iters=reps, arg_sets=xfvars)
+        tb = device_time(dense_bf16, xb, iters=reps, arg_sets=xbvars)
         # XLA's entry-layout choice differs per shape; measure both the
         # default and the forced row-major boundary and keep the better (a
         # per-layer deployment decision, same spirit as the reference's
         # per-shape kernel dispatch)
-        ts = min(device_time(sparse, xb, iters=args.repeats),
-                 device_time(sparse, xb, iters=args.repeats, out_format=rm))
+        ts = min(device_time(sparse, xb, iters=reps, arg_sets=xbvars),
+                 device_time(sparse, xb, iters=reps, arg_sets=xbvars,
+                             out_format=rm))
         flops = 2 * args.batch * h * w * cin * cout * k * k / (s * s)
         nnz = aligned.stats.nnz
         out_pix = args.batch * (h // s) * (w // s)
@@ -274,7 +285,8 @@ def run_fc(args):
     from caffe_escoin_tpu.models import ZOO
     from caffe_escoin_tpu.nn import Net
     from caffe_escoin_tpu.sparse.formats import dense_to_bsc
-    from caffe_escoin_tpu.utils.benchmark import device_time
+    from caffe_escoin_tpu.utils.benchmark import (device_time,
+                                                  device_time_cycle)
     from caffe_escoin_tpu.utils.pruning import prune_blocks
 
     builder, input_shapes = ZOO[args.model]
@@ -295,28 +307,47 @@ def run_fc(args):
     rows = []
     tot = {"f32": 0.0, "bf16": 0.0, "sp": 0.0}
     for name, k, m in fcs:
-        w = prune_blocks(
+        # 4 independent (input, weight) replicas, cycled during timing:
+        # with ONE replica the 33MB fc7 weight stays VMEM-warm across
+        # repeated identical executions and the dense baseline "beats" the
+        # HBM roofline 3x (12us measured vs a 41us weight-streaming bound —
+        # r3 finding, see utils/benchmark.device_time). Inside a real VGG
+        # forward the fc weights are always cold: hundreds of MB of
+        # activations and other layers' weights flow through HBM between
+        # consecutive uses of any one matrix.
+        wvars = [prune_blocks(
             rng.standard_normal((k, m)).astype(np.float32) * 0.02,
-            args.sparsity, (128, 128))
-        bsc = dense_to_bsc(w, (128, 128))
-        wj = jnp.asarray(w)
-        wb = wj.astype(jnp.bfloat16)
-        x = jnp.asarray(
+            args.sparsity, (128, 128)) for _ in range(4)]
+        bscs = [dense_to_bsc(wv, (128, 128)) for wv in wvars]
+        bsc = bscs[0]
+        wjs = [jnp.asarray(wv) for wv in wvars]
+        wbs = [w_.astype(jnp.bfloat16) for w_ in wjs]
+        wj, wb = wjs[0], wbs[0]
+        xvars = [jnp.asarray(
             rng.standard_normal((args.batch, k)).astype(np.float32) * 0.1)
-        xb = x.astype(jnp.bfloat16)
+            for _ in range(4)]
+        x = xvars[0]
+        xbvars = [xv.astype(jnp.bfloat16) for xv in xvars]
+        xb = xbvars[0]
         # dense weights passed as ARGUMENTS: closing a 25088x4096 f32
         # matrix into the jit would bake it into the serialized HLO as a
         # literal and blow the remote-compile relay's request limit
         # (HTTP 413 — the silent killer of the r2 suite's fc/vgg steps).
         # The sparse arm still closes over its (10x smaller) block payloads
-        # — pattern concreteness is what the XBSP unroll needs.
+        # — pattern concreteness is what the XBSP unroll needs — so it
+        # cycles four separately-jitted closures instead (device_time_cycle).
         d32 = lambda y, w: jnp.dot(y, w)  # noqa: E731
         dbf = lambda y, w: jnp.dot(y, w)  # noqa: E731
         sp = lambda y: xbs.spmm(y, bsc)  # noqa: E731
         err = float(jnp.max(jnp.abs(sp(xb).astype(jnp.float32) - d32(x, wj))))
-        tf = device_time(d32, x, wj, iters=args.repeats)
-        tb = device_time(dbf, xb, wb, iters=args.repeats)
-        ts = device_time(sp, xb, iters=args.repeats)
+        reps = max(args.repeats, 8)
+        tf = device_time(d32, x, wj, iters=reps,
+                         arg_sets=list(zip(xvars, wjs)))
+        tb = device_time(dbf, xb, wb, iters=reps,
+                         arg_sets=list(zip(xbvars, wbs)))
+        ts = device_time_cycle(
+            [(lambda y, _b=b: xbs.spmm(y, _b), (xv,))
+             for b, xv in zip(bscs, xbvars)], iters=reps)
         tot["f32"] += tf
         tot["bf16"] += tb
         tot["sp"] += ts
@@ -425,8 +456,13 @@ def run_e2e(args):
         params_d, params_db, pruned_s = params, params, pruned
 
     aligned = net_s.weight_align(pruned_s)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(
-        shapes["data"]).astype(np.float32) * 0.1)
+    # 4 distinct inputs cycled per arm (warm-VMEM hazard, see
+    # utils/benchmark.device_time): weights legitimately stay device-warm
+    # in a dedicated serving loop, but each batch's INPUT is new.
+    _rng_x = np.random.default_rng(0)
+    xvars = [jnp.asarray(_rng_x.standard_normal(
+        shapes["data"]).astype(np.float32) * 0.1) for _ in range(4)]
+    x = xvars[0]
 
     # dense arms take params as a jit ARGUMENT (the standard dense
     # deployment shape; also keeps VGG-scale f32 weights out of the
@@ -441,12 +477,15 @@ def run_e2e(args):
     def first(out):
         return out[next(iter(out))]
 
+    reps = max(args.repeats, 8)
     td = device_time(lambda p, y: first(fwd_d(p, {"data": y})), params_d, x,
-                     iters=args.repeats)
+                     iters=reps,
+                     arg_sets=[(params_d, xv) for xv in xvars])
     tdb = device_time(lambda p, y: first(fwd_db(p, {"data": y})), params_db,
-                      x, iters=args.repeats)
+                      x, iters=reps,
+                      arg_sets=[(params_db, xv) for xv in xvars])
     ts = device_time(lambda y: first(fwd_s({"data": y})), x,
-                     iters=args.repeats)
+                     iters=reps, arg_sets=[(xv,) for xv in xvars])
     log(f"e2e {args.model} batch {args.batch}: dense-f32 {td*1e3:.2f}ms "
         f"dense-bf16 {tdb*1e3:.2f}ms sparse {ts*1e3:.2f}ms "
         f"-> vs_f32 {td/ts:.2f}x vs_bf16 {tdb/ts:.2f}x")
@@ -501,6 +540,76 @@ def run_e2e(args):
     print(json.dumps(result))
 
 
+def run_batch_curve(args):
+    """Single-chip throughput vs batch size for the fused sparse net —
+    the saturation evidence behind docs/SCALING.md's claim that the
+    forward path is collective-free and compute/bandwidth-saturated at
+    the per-device batches the scaling harness uses (r2 VERDICT weak #7:
+    virtual-mesh efficiencies measure host contention, not scaling; this
+    curve is the single-chip half of the argument)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.engine.context import ConvMode, ExecutionPolicy
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.nn import Net
+    from caffe_escoin_tpu.nn.fuse import fuse_inference
+    from caffe_escoin_tpu.utils.benchmark import device_time
+    from caffe_escoin_tpu.utils.pruning import prune_conv_weight
+
+    builder, input_shapes = ZOO[args.model]
+    pol = ExecutionPolicy(conv_mode=ConvMode.SCONV_PAR,
+                          block_shape=(128, 128),
+                          compute_dtype=jnp.bfloat16, cast_back=False,
+                          autotune=args.autotune)
+    rows = []
+    best = 0.0
+    for batch in (1, 2, 4, 8, 16, 32, 64):
+        net = Net(builder(), policy=pol, phase="test")
+        shapes = {"data": (batch,) + tuple(input_shapes["data"][1:])}
+        params = net.init(jax.random.PRNGKey(0), shapes)
+        pruned = dict(params)
+        for layer in net.layers:
+            n = layer.spec.name
+            if n not in pruned or layer.spec.type not in (
+                    "Convolution", "ConvolutionReLU"):
+                continue
+            w = np.asarray(pruned[n]["w"])
+            if w.shape[0] * w.shape[1] * w.shape[2] < 32:
+                continue
+            pruned[n] = dict(pruned[n], w=jnp.asarray(
+                prune_conv_weight(w, args.sparsity, (128, 128))))
+        fnet, fparams = fuse_inference(net, pruned, state=net.state0)
+        fwd = fnet.inference_fn(fnet.weight_align(fparams))
+        _rx = np.random.default_rng(0)
+        xvars = [jnp.asarray(_rx.standard_normal(
+            shapes["data"]).astype(np.float32) * 0.1) for _ in range(4)]
+        x = xvars[0]
+        key = next(iter(fwd({"data": x})))
+        t = device_time(lambda y: fwd({"data": y})[key], x,
+                        iters=max(args.repeats, 8),
+                        arg_sets=[(xv,) for xv in xvars])
+        ips = batch / t
+        best = max(best, ips)
+        rows.append(dict(kind="batch_curve", model=args.model, batch=batch,
+                         t_ms=round(t * 1e3, 3),
+                         images_per_s=round(ips, 1),
+                         sparsity=args.sparsity))
+        log(f"  batch {batch:3d}: {t*1e3:7.3f} ms  {ips:9.1f} img/s")
+    if args.jsonl:
+        with open(args.jsonl, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    sat = rows[-1]["images_per_s"] / best if best else 0.0
+    print(json.dumps({
+        "metric": f"{args.model}_sparse_batch_curve_peak",
+        "value": round(best, 1), "unit": "images_per_s",
+        "vs_baseline": round(sat, 3),
+        "rows": [[r["batch"], r["images_per_s"]] for r in rows],
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="2 shapes, quick")
@@ -520,6 +629,9 @@ def main():
     ap.add_argument("--fc", action="store_true",
                     help="sparse FC microbench on the model's InnerProduct "
                          "shapes")
+    ap.add_argument("--batch-curve", action="store_true",
+                    help="single-chip sparse throughput vs batch size "
+                         "(docs/SCALING.md saturation evidence)")
     ap.add_argument("--buckets", action="store_true",
                     help="with --e2e: also report conv/fc/other bucket split")
     ap.add_argument("--fuse", action=argparse.BooleanOptionalAction,
@@ -542,6 +654,8 @@ def main():
         run_e2e(args)
     elif args.fc:
         run_fc(args)
+    elif args.batch_curve:
+        run_batch_curve(args)
     else:
         run_per_layer(args)
 

@@ -99,9 +99,17 @@ def measure_arms(aligned, policy, x_shape, stride, padding, dilation,
 
     dtype = (policy.compute_dtype if policy.compute_dtype is not None
              else jnp.float32)
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal(x_shape), jnp.float32
-    ).astype(dtype)
+    # 4 distinct inputs cycled per measurement: repeated identical dispatch
+    # leaves the input VMEM-warm across executions and under-reports
+    # memory-bound arms (the warm-VMEM hazard, utils/benchmark.device_time)
+    # — with one buffer the tuner picked arms that LOSE under real cold
+    # reads. Weights stay closed-over (warm) in every arm alike, which
+    # favors the dense arm (its weights are the largest), keeping the
+    # never-lose floor conservative.
+    rng = np.random.default_rng(0)
+    xsets = [(jnp.asarray(rng.standard_normal(x_shape), jnp.float32)
+              .astype(dtype),) for _ in range(4)]
+    x = xsets[0][0]
     wd = aligned.dense.astype(dtype)
 
     cands = {
@@ -116,7 +124,8 @@ def measure_arms(aligned, policy, x_shape, stride, padding, dilation,
     times = {}
     for arm, fn in cands.items():
         try:
-            times[arm] = device_time(fn, x, iters=iters)
+            times[arm] = device_time(fn, x, iters=max(iters, 8),
+                                     arg_sets=xsets)
         except Exception:  # arm not executable for this shape: skip it
             continue
     return times

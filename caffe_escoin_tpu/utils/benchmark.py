@@ -99,7 +99,8 @@ def row_major_format(ndim: int):
                   SingleDeviceSharding(jax.devices()[0]))
 
 
-def device_time(f: Callable, *args, iters: int = 20, out_format=None) -> float:
+def device_time(f: Callable, *args, iters: int = 20, out_format=None,
+                arg_sets=None) -> float:
     """Median on-device seconds per execution of jit(f)(*args), measured from
     the XLA device timeline via jax.profiler.
 
@@ -108,6 +109,16 @@ def device_time(f: Callable, *args, iters: int = 20, out_format=None) -> float:
     of non-deterministic queueing noise, which `slope_time` differencing
     only partially cancels. The profiler's "XLA Modules" track records the
     actual device execution span of each module run.
+
+    ``arg_sets`` (a list of >=2 argument tuples, cycled across iterations)
+    defeats the warm-VMEM hazard: repeating the SAME module on the SAME
+    buffers lets parameters stay VMEM-resident across executions, so
+    memory-bound modules report times far below their HBM roofline (a
+    4096x4096 bf16 matmul "measures" 12us warm vs ~46us cold = its actual
+    weight-streaming bound). Cycling distinct buffers restores the
+    cold-read cost every layer pays inside a real net forward, where the
+    rest of the network's traffic evicts it between uses. Pass it for any
+    module whose operands fit in VMEM (~128MB on v5e).
 
     Falls back to `slope_time` when no device timeline is present (CPU
     interpret-mode runs).
@@ -121,15 +132,24 @@ def device_time(f: Callable, *args, iters: int = 20, out_format=None) -> float:
 
     fj = jax.jit(f) if out_format is None else jax.jit(
         f, out_shardings=out_format)
-    jax.block_until_ready(fj(*args))  # compile + warm
+    sets = list(arg_sets) if arg_sets else [args]
+    for s in sets:
+        jax.block_until_ready(fj(*s))  # compile + warm every variant
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
-            for _ in range(iters):
-                jax.block_until_ready(fj(*args))
+            for i in range(iters):
+                jax.block_until_ready(fj(*sets[i % len(sets)]))
         traces = glob.glob(
             os.path.join(td, "**", "*.trace.json.gz"), recursive=True)
+
+        def _fallback():
+            s0 = sets[0]
+            if len(s0) == 1:
+                return slope_time(f, s0[0])
+            return slope_time(lambda x: f(x, *s0[1:]), s0[0])
+
         if not traces:
-            return slope_time(f, *args)
+            return _fallback()
         with gzip.open(traces[0], "rt") as fh:
             data = json.load(fh)
     evs = data.get("traceEvents", [])
@@ -149,9 +169,68 @@ def device_time(f: Callable, *args, iters: int = 20, out_format=None) -> float:
         if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in module_tids
     ]
     if not durs:
-        return slope_time(f, *args)
+        return _fallback()
     # one module execution per iteration; if several modules ran per
     # iteration (multi-dispatch fns), group by execution order
+    per_iter = max(1, len(durs) // iters)
+    totals = [
+        sum(durs[i : i + per_iter]) for i in range(0, len(durs), per_iter)
+    ]
+    return statistics.median(totals) * 1e-6
+
+
+def device_time_cycle(pairs, *, iters: int = 20) -> float:
+    """Like ``device_time(..., arg_sets=...)`` but for CLOSURE variants:
+    ``pairs`` is a list of (callable, args-tuple); each callable closes over
+    its own weight replica (needed when the sparse pattern must be concrete
+    at trace time, so weights cannot be jit arguments). Cycling distinct
+    modules+buffers defeats the warm-VMEM repeated-dispatch hazard the same
+    way arg_sets does (validated: a 4096x4096 bf16 matmul measures 12us
+    warm-identical, 47us cycling 4 closures, vs its 41us HBM bound).
+
+    Returns median on-device seconds per execution across all variants.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+    import statistics
+    import tempfile
+
+    fjs = [(jax.jit(f), a) for f, a in pairs]
+    for fj, a in fjs:
+        jax.block_until_ready(fj(*a))
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for i in range(iters):
+                fj, a = fjs[i % len(fjs)]
+                jax.block_until_ready(fj(*a))
+        traces = glob.glob(
+            os.path.join(td, "**", "*.trace.json.gz"), recursive=True)
+        if not traces:
+            f0, a0 = pairs[0]
+            return slope_time(lambda x: f0(x, *a0[1:]), a0[0])
+        with gzip.open(traces[0], "rt") as fh:
+            data = json.load(fh)
+    evs = data.get("traceEvents", [])
+    device_pids = {
+        e["pid"] for e in evs
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "device:" in str(e.get("args", {}).get("name", ""))
+    }
+    module_tids = {
+        (e["pid"], e["tid"]) for e in evs
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and e["pid"] in device_pids
+        and e.get("args", {}).get("name") == "XLA Modules"
+    }
+    durs = [
+        e["dur"] for e in evs
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in module_tids
+    ]
+    if not durs:
+        f0, a0 = pairs[0]
+        return slope_time(lambda x: f0(x, *a0[1:]), a0[0])
     per_iter = max(1, len(durs) // iters)
     totals = [
         sum(durs[i : i + per_iter]) for i in range(0, len(durs), per_iter)
