@@ -115,13 +115,13 @@ def measure_halo(n_dev: int, sparsity: float, iters: int, seed: int = 0):
     from caffe_escoin_tpu.sparse.weight_align import weight_align
     from caffe_escoin_tpu.utils.pruning import prune_conv_weight
 
-    policy = ExecutionPolicy(block_shape=(16, 16), use_pallas=True,
-                             interpret=jax.default_backend() == "cpu",
-                             spmm_tile_m=64)
+    # XBSP engine (r3): the performance-bearing arm inside the spatial
+    # partition; the v2 Pallas kernel remains reachable via engine="pallas"
+    policy = ExecutionPolicy(block_shape=(16, 16))
     rng = np.random.default_rng(seed)
-    cin = cout = 32
+    cin, cout = 64, 64
     h = 16 * n_dev  # H divides the mesh
-    w = 16
+    w = 32
     wt = prune_conv_weight(
         rng.standard_normal((3, 3, cin, cout)).astype(np.float32), sparsity,
         (16, 16))
@@ -130,7 +130,8 @@ def measure_halo(n_dev: int, sparsity: float, iters: int, seed: int = 0):
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("model",))
     x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
     fwd = jax.jit(lambda x: halo.spatial_sconv2d(
-        x, aligned, mesh=mesh, padding=(1, 1), policy=policy))
+        x, aligned, mesh=mesh, padding=(1, 1), policy=policy,
+        engine="auto"))
     jax.block_until_ready(fwd(x))
     best = float("inf")
     for _ in range(iters):
@@ -138,7 +139,8 @@ def measure_halo(n_dev: int, sparsity: float, iters: int, seed: int = 0):
         jax.block_until_ready(fwd(x))
         best = min(best, _time.perf_counter() - t0)
     nnz_work = aligned.stats.nnz * h * w * 2
-    return dict(devices=n_dev, mode="halo", time_s=round(best, 6),
+    return dict(devices=n_dev, mode="halo", engine="xbsp",
+                time_s=round(best, 6),
                 gnnz_per_s=round(nnz_work / best / 1e9, 3),
                 gnnz_per_s_per_dev=round(nnz_work / best / 1e9 / n_dev, 3))
 
