@@ -228,3 +228,33 @@ def test_halo_stride_residual_shape_guard():
     with pytest.raises(ValueError):
         halo.spatial_sconv2d(x, aligned, mesh=mesh, padding=(1, 1),
                              policy=policy, stride=(2, 2))
+
+
+@requires_8
+def test_dp_inference_forward_is_collective_free():
+    """The batch-sharded sparse inference forward must lower with ZERO
+    cross-device collectives (weights replicated and closed over, batch
+    sharded) — docs/SCALING.md's scaling argument: on a real slice the
+    only loss vs linear is input distribution, so the single-chip
+    saturation curve (bench.py --batch-curve) carries the efficiency
+    claim. The reference's DP forward was likewise collective-free
+    (NCCL only touched gradients, `parallel.cpp:227-256`)."""
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    policy = ExecutionPolicy(block_shape=(8, 8))
+    w = prune_conv_weight(
+        np.random.default_rng(0).standard_normal((3, 3, 16, 32)).astype(
+            np.float32), 0.8, (8, 8))
+    aligned = weight_align(w, None, policy=policy)
+    from caffe_escoin_tpu.ops.conv import conv2d_sconv
+
+    x = jnp.zeros((8, 8, 8, 16))
+    shard = NamedSharding(mesh, P("data"))
+    fwd = jax.jit(
+        lambda y: conv2d_sconv(y, aligned, stride=(1, 1), padding=(1, 1),
+                               dilation=(1, 1), relu=False, policy=policy,
+                               batch_parallel=True),
+        in_shardings=shard)
+    txt = fwd.lower(x).compile().as_text()
+    for op in ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all"):
+        assert op not in txt, f"unexpected collective {op} in DP forward"
