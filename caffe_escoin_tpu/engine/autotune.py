@@ -36,7 +36,7 @@ _LOCK = threading.RLock()
 _LOADED_FILES: set = set()
 _MEASURING = threading.local()
 
-ARMS = ("unroll", "gathered", "dense")
+ARMS = ("unroll", "gathered", "dense", "fused")
 
 
 def _pattern_sig(aligned) -> Tuple[int, int, int, int]:
@@ -121,6 +121,14 @@ def measure_arms(aligned, policy, x_shape, stride, padding, dilation,
             y, wd, aligned.bias, stride=stride, padding=padding,
             dilation=dilation, groups=aligned.groups),
     }
+    # the Pallas fused-slab direct kernel (v3) competes too where its VMEM
+    # budget admits the shape — before autotune it was only reachable when
+    # the XBSP unroll could NOT run at all
+    from caffe_escoin_tpu.kernels import sconv_fused
+    if (tuple(stride) == (1, 1) and tuple(dilation) == (1, 1)
+            and sconv_fused.supported(x, aligned, padding, policy)):
+        cands["fused"] = lambda y: sconv_fused.sconv(
+            y, aligned, padding=padding, relu=False, policy=policy)
     times = {}
     for arm, fn in cands.items():
         try:

@@ -228,6 +228,19 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
                 stride=stride, padding=padding, dilation=dilation,
                 groups=aligned.groups, relu=relu,
                 residual=residual).astype(x.dtype)
+        if (arm == "fused" and stride == (1, 1) and dilation == (1, 1)
+                and sconv_fused.supported(x, aligned, padding, policy)):
+            # autotuned winner: the Pallas fused-slab kernel (no residual
+            # input — apply the residual epilogue outside; XLA fuses it
+            # into one elementwise pass)
+            out = sconv_fused.sconv(
+                x, aligned, padding=padding,
+                relu=relu and residual is None, policy=policy)
+            if residual is not None:
+                out = out + residual.astype(out.dtype)
+                if relu:
+                    out = jnp.maximum(out, 0.0)
+            return out
         conv_fn = (xla_block_sparse.conv_gathered if arm == "gathered"
                    else xla_block_sparse.conv)
 

@@ -92,3 +92,27 @@ def test_bf16_activations():
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                rtol=0.05, atol=0.02)
+
+
+def test_fused_arm_dispatch_with_residual():
+    """arm=="fused" (the autotuned Pallas fused-slab winner, r3) routes
+    through conv2d_sconv with the residual+ReLU epilogue applied outside
+    the kernel — vs the scalar oracle."""
+    from caffe_escoin_tpu.kernels.reference import conv2d_reference
+    from caffe_escoin_tpu.ops.conv import conv2d_sconv
+
+    rng = np.random.default_rng(0)
+    pol = ExecutionPolicy(block_shape=(8, 8), interpret=True,
+                          xbsp_arm="fused")
+    w = prune_conv_weight(
+        rng.standard_normal((3, 3, 16, 32)).astype(np.float32), 0.8, (8, 8))
+    b = rng.standard_normal(32).astype(np.float32)
+    aligned = weight_align(w, b, policy=pol)
+    x = rng.standard_normal((2, 10, 10, 16)).astype(np.float32)
+    res = rng.standard_normal((2, 10, 10, 32)).astype(np.float32)
+    out = conv2d_sconv(jnp.asarray(x), aligned, stride=(1, 1),
+                       padding=(1, 1), dilation=(1, 1), relu=True,
+                       policy=pol, batch_parallel=True,
+                       residual=jnp.asarray(res))
+    ref = np.maximum(conv2d_reference(x, w, b, padding=(1, 1)) + res, 0.0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
