@@ -106,3 +106,21 @@ def test_debug_info_blob_norms():
     assert any(r.get("top") == "prob" for r in rows)
     assert any("conv1" in ln for ln in lines)
     assert all(np.isfinite(r["data"]) for r in rows)
+
+
+def test_device_time_arg_sets_cpu_fallback():
+    """device_time(..., arg_sets=...) falls back to slope_time on CPU
+    (no device timeline) without touching the cycled sets' shapes."""
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.utils.benchmark import (device_time,
+                                                  device_time_cycle)
+
+    xs = [jnp.ones((16, 16)) * i for i in range(3)]
+    w = jnp.ones((16, 16))
+    t = device_time(lambda y, w: y @ w, xs[0], w, iters=3,
+                    arg_sets=[(x, w) for x in xs])
+    assert t > 0
+    t2 = device_time_cycle(
+        [(lambda y, _w=w: y @ _w, (x,)) for x in xs], iters=3)
+    assert t2 > 0
