@@ -262,6 +262,7 @@ def run_per_layer(args):
         "metric": metric,
         "value": round(sp_bf16, 3),
         "unit": "x_vs_dense_bf16_xla_conv",
+        "batch": args.batch,
         "vs_baseline": round(sp_bf16 / 2.0, 3),
         "speedup_vs_dense_f32": round(sp_f32, 3),
         "gnnz_per_s": round(gnnz_s, 1),
@@ -375,6 +376,7 @@ def run_fc(args):
                    f"{int(round(args.sparsity * 100))}"),
         "value": round(tot["bf16"] / tot["sp"], 3),
         "unit": "x_vs_dense_bf16_matmul",
+        "batch": args.batch,
         "vs_baseline": round(tot["bf16"] / tot["sp"] / 2.0, 3),
         "speedup_vs_dense_f32": round(tot["f32"] / tot["sp"], 3),
     }
@@ -524,6 +526,7 @@ def run_e2e(args):
                    f"{int(round(args.sparsity * 100))}{gran}"),
         "value": round(tdb / ts, 3),
         "unit": "x_vs_dense_bf16_e2e",
+        "batch": args.batch,
         "vs_baseline": round((tdb / ts) / 2.0, 3),
         "speedup_vs_dense_f32": round(td / ts, 3),
         "t_dense_f32_ms": round(td * 1e3, 3),
