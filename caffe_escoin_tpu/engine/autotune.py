@@ -36,7 +36,7 @@ _LOCK = threading.RLock()
 _LOADED_FILES: set = set()
 _MEASURING = threading.local()
 
-ARMS = ("unroll", "gathered", "dense", "fused")
+ARMS = ("unroll", "gathered", "gathered_cols", "dense", "fused")
 
 
 def _pattern_sig(aligned) -> Tuple[int, int, int, int]:
@@ -116,6 +116,8 @@ def measure_arms(aligned, policy, x_shape, stride, padding, dilation,
         "unroll": lambda y: xbs.conv(
             y, aligned, stride=stride, padding=padding, dilation=dilation),
         "gathered": lambda y: xbs.conv_gathered(
+            y, aligned, stride=stride, padding=padding, dilation=dilation),
+        "gathered_cols": lambda y: xbs.conv_gathered_cols(
             y, aligned, stride=stride, padding=padding, dilation=dilation),
         "dense": lambda y: conv_ops.conv2d_dense(
             y, wd, aligned.bias, stride=stride, padding=padding,

@@ -277,6 +277,82 @@ def conv_gathered(x, aligned: AlignedConvWeight, *, stride=(1, 1),
     return out.astype(x.dtype)
 
 
+def conv_gathered_cols(x, aligned: AlignedConvWeight, *, stride=(1, 1),
+                       padding=(0, 0), dilation=(1, 1), relu=False,
+                       residual=None):
+    """Per-column gathered GEMM ("XBSP-GC", r3): for each output
+    block-column, concatenate ONLY that column's live K-block slices and
+    run ONE dot [M, s_j*bk] x [s_j*bk, bn].
+
+    Middle ground between the per-block unroll (`conv`: one dot per live
+    block — DOT-COUNT-bound on small feature maps, e.g. 7x7 512->512 k3 at
+    90% runs ~14 tiny M=784 dots and sits 2.4x above its bytes bound) and
+    the global-union single GEMM (`conv_gathered`: K = union*bk, wasteful
+    compute when columns share few K-blocks, as in k>1 patterns). Dot
+    count drops from live_blocks to ncols; identical slab slices across
+    columns are CSE'd by XLA so each (offset, cin-block) activation
+    materializes once. Per-column f32 epilogue before the bf16 concat, as
+    in `conv`. The autotuner (engine/autotune.py) picks it where measured
+    fastest."""
+    kh, kw = aligned.kernel_shape
+    bk, bn = aligned.bsc.block_shape
+    n_cin_b = aligned.cin_pad // bk
+    ph, pw = padding
+    sh, sw = stride
+    dh, dw = dilation
+    n, h, w, c = x.shape
+    ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
+    wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
+
+    xp = x
+    if ph or pw:
+        xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+
+    block_row = np.asarray(jax.device_get(aligned.bsc.block_row))
+    bcol_nnz = np.asarray(jax.device_get(aligned.bsc.bcol_nnz))
+    wblocks = aligned.bsc.blocks.astype(x.dtype)
+
+    def slab(kblk):
+        off, cb = kblk // n_cin_b, kblk % n_cin_b
+        khi, kwi = (off // kw) * dh, (off % kw) * dw
+        a = xp[:, khi:khi + sh * (ho - 1) + 1:sh,
+               kwi:kwi + sw * (wo - 1) + 1:sw,
+               cb * bk:min((cb + 1) * bk, c)]
+        if a.shape[-1] < bk:  # channel tail (cin_pad > cin)
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, bk - a.shape[-1])))
+        return a
+
+    outs = []
+    for j in range(block_row.shape[0]):
+        s_j = int(bcol_nnz[j])
+        if s_j == 0:
+            acc = jnp.zeros((n, ho, wo, bn), jnp.float32)
+        else:
+            ag = [slab(int(block_row[j, s])) for s in range(s_j)]
+            ag = jnp.concatenate(ag, axis=-1) if s_j > 1 else ag[0]
+            wcol = wblocks[j, :s_j].reshape(s_j * bk, bn)
+            acc = jax.lax.dot_general(
+                ag, wcol, (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if aligned.bias is not None:
+            bcol = aligned.bias[j * bn:(j + 1) * bn]
+            if bcol.shape[0] < bn:
+                bcol = jnp.pad(bcol, (0, bn - bcol.shape[0]))
+            acc = acc + bcol
+        if residual is not None:
+            rcol = residual[..., j * bn:(j + 1) * bn]
+            if rcol.shape[-1] < bn:
+                rcol = jnp.pad(
+                    rcol, ((0, 0),) * (rcol.ndim - 1)
+                    + ((0, bn - rcol.shape[-1]),))
+            acc = acc + rcol.astype(acc.dtype)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        outs.append(acc.astype(x.dtype))
+    out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    return out[..., :aligned.cout]
+
+
 def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
          dilation=(1, 1), relu=False, residual=None):
     """Block-sparse conv via static XLA unroll. x: [N,H,W,Cin] (any float

@@ -241,8 +241,9 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
                 if relu:
                     out = jnp.maximum(out, 0.0)
             return out
-        conv_fn = (xla_block_sparse.conv_gathered if arm == "gathered"
-                   else xla_block_sparse.conv)
+        conv_fn = {"gathered": xla_block_sparse.conv_gathered,
+                   "gathered_cols": xla_block_sparse.conv_gathered_cols,
+                   }.get(arm, xla_block_sparse.conv)
 
         def _xbsp(y, res=residual):
             return conv_fn(

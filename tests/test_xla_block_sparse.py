@@ -208,3 +208,50 @@ def test_unstructured_pattern_dispatches_dense():
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 7, 7, 256, 256, 3, 1, 0.9),
+    (1, 14, 14, 26, 18, 3, 1, 0.7),     # channel tails both sides
+    (2, 10, 10, 32, 32, 5, 2, 0.8),
+    (1, 8, 8, 32, 32, 1, 0, 0.9),
+])
+def test_gathered_cols_matches_oracle(shape):
+    """Per-column gathered GEMM (XBSP-GC, r3) vs the dense oracle."""
+    n, h, w, cin, cout, k, pad, sp = shape
+    pol = ExecutionPolicy(block_shape=(8, 8))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((n, h, w, cin)).astype(np.float32)
+                    * 0.1)
+    wt = rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.05
+    wp = prune_conv_weight(wt, sp, (8, 8))
+    b = rng.standard_normal(cout).astype(np.float32) * 0.1
+    aligned = weight_align(wp, b, policy=pol)
+    assert aligned.bsc is not None
+    out = xla_block_sparse.conv_gathered_cols(
+        x, aligned, padding=(pad, pad), relu=True)
+    ref = lax.conv_general_dilated(
+        x, jnp.asarray(wp), (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
+    ref = jnp.maximum(ref + b, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_gathered_cols_dispatch_via_policy():
+    """xbsp_arm='gathered_cols' routes conv2d_sconv through the new arm."""
+    rng = np.random.default_rng(4)
+    pol = ExecutionPolicy(block_shape=(128, 128), xbsp_arm="gathered_cols")
+    w = prune_conv_weight(
+        rng.standard_normal((3, 3, 128, 128)).astype(np.float32), 0.9,
+        (128, 128))
+    al = weight_align(w, None, policy=pol)
+    x = jnp.asarray(rng.standard_normal((1, 7, 7, 128)).astype(np.float32))
+    out = conv_ops.conv2d_sconv(x, al, stride=(1, 1), padding=(1, 1),
+                                dilation=(1, 1), relu=False, policy=pol,
+                                batch_parallel=True)
+    ref = lax.conv_general_dilated(
+        x, jnp.asarray(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
