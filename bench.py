@@ -40,6 +40,7 @@ Prints ONE JSON line on stdout; human-readable detail goes to stderr.
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -651,6 +652,17 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compiled-executable cache: autotuning compiles 5 arms per
+    # (shape, pattern) and each remote compile costs ~20-40s through the
+    # relay; re-runs of the suite hit the disk cache instead
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("CESCOIN_COMPILE_CACHE",
+                                         "/root/.cache/cescoin_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     if args.e2e:
