@@ -279,6 +279,116 @@ def assign_to_params(net, params: Dict, loaded: Dict[str, Dict],
     return out
 
 
+# ---------------------------------------------------------------------------
+# Export: the reverse direction (`Solver::Snapshot` writes .caffemodel via
+# `Net::ToProto`, `src/caffe/net.cpp:910+` / `solver.cpp:403-461`). Emitting
+# the same wire format this importer reads makes the interop bidirectional:
+# a net trained HERE can be snapshotted into the reference's format, and the
+# round-trip (save -> load -> assign) is an exact-parity check on the layout
+# conversions above.
+# ---------------------------------------------------------------------------
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field(num: int, payload: bytes) -> bytes:
+    """Length-delimited (wire type 2) field."""
+    return _varint((num << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _blob_bytes(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr, np.float32)
+    dims = b"".join(_varint(int(d)) for d in arr.shape)
+    shape = _field(7, _field(1, dims))  # BlobShape{dim=1 packed int64}
+    data = _field(5, arr.reshape(-1).tobytes())  # packed float
+    return shape + data
+
+
+def _hwio_to_caffe_conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).transpose(3, 2, 0, 1))
+
+
+def _fc_rows_hwc_to_chw(w_km: np.ndarray,
+                        bottom_shape: Optional[Tuple[int, ...]]):
+    """Inverse of `_fc_rows_chw_to_hwc`."""
+    if bottom_shape is None or len(bottom_shape) != 4:
+        return w_km
+    _, h, wd, c = bottom_shape
+    k, m = w_km.shape
+    if k != h * wd * c or h * wd == 1:
+        return w_km
+    return w_km.reshape(h, wd, c, m).transpose(2, 0, 1, 3).reshape(k, m)
+
+
+def save_caffemodel(net, params: Dict, path: str, *,
+                    state: Optional[Dict] = None,
+                    net_name: str = "net", log=print) -> int:
+    """Write net params (and BatchNorm moving stats from `state`) as a
+    modern-format `.caffemodel` (NetParameter with `layer` field 100).
+
+    Returns the number of layers exported. Layer types without blobs are
+    emitted without a blobs field (like `Net::ToProto`, which serializes
+    every layer's — possibly empty — blob list; readers only care about
+    the ones that carry weights)."""
+    state = state or {}
+    chunks = [_field(1, net_name.encode())]
+    exported = 0
+    for layer in net.layers:
+        name = layer.spec.name
+        t = layer.spec.type
+        p = params.get(name, {})
+        blobs: List[np.ndarray] = []
+        if t in ("Convolution", "ConvolutionReLU", "EscConvolution") \
+                and "w" in p:
+            blobs.append(_hwio_to_caffe_conv(p["w"]))
+            if "b" in p:
+                blobs.append(np.asarray(p["b"]).reshape(-1))
+        elif t == "Deconvolution" and "w" in p:
+            blobs.append(np.ascontiguousarray(
+                np.asarray(p["w"]).transpose(2, 3, 0, 1)))
+            if "b" in p:
+                blobs.append(np.asarray(p["b"]).reshape(-1))
+        elif t == "InnerProduct" and "w" in p:
+            w = np.asarray(p["w"])  # [K, Cout]
+            bottom = layer.spec.bottoms[0] if layer.spec.bottoms else None
+            bshape = _trace_fc_bottom_shape(net, bottom, w.shape[0],
+                                            log=lambda *_: None)
+            w = _fc_rows_hwc_to_chw(w, bshape)
+            blobs.append(np.ascontiguousarray(w.T))  # [Cout, K]
+            if "b" in p:
+                blobs.append(np.asarray(p["b"]).reshape(-1))
+        elif t == "Scale" and "gamma" in p:
+            blobs.append(np.asarray(p["gamma"]).reshape(-1))
+            if "beta" in p:
+                blobs.append(np.asarray(p["beta"]).reshape(-1))
+        elif t == "PReLU" and "alpha" in p:
+            blobs.append(np.asarray(p["alpha"]).reshape(-1))
+        elif t == "BatchNorm" and name in state:
+            s = state[name]
+            blobs = [np.asarray(s["mean_acc"]).reshape(-1),
+                     np.asarray(s["var_acc"]).reshape(-1),
+                     np.asarray(s["count"]).reshape(1)]
+        lp = _field(1, name.encode()) + _field(2, t.encode())
+        for b in blobs:
+            lp += _field(7, _blob_bytes(b))
+        chunks.append(_field(100, lp))
+        if blobs:
+            exported += 1
+    with open(path, "wb") as fh:
+        fh.write(b"".join(chunks))
+    log(f"caffemodel: exported {exported} weighted layers -> {path}")
+    return exported
+
+
 def batchnorm_state(loaded: Dict[str, Dict]) -> Dict[str, Dict]:
     """Extract BatchNorm moving stats in the framework's state schema.
 

@@ -237,6 +237,21 @@ def cmd_train(args):
     return 0
 
 
+def cmd_export_caffemodel(args):
+    """Export current weights (framework checkpoint or re-export of an
+    imported .caffemodel) as a binary NetParameter — the reverse of
+    `Net::CopyTrainedLayersFrom` (`src/caffe/net.cpp:910+` `Net::ToProto`),
+    so nets trained here can be consumed by reference tooling."""
+    from caffe_escoin_tpu.tools.caffemodel import save_caffemodel
+
+    net, shapes = _build_net(args, phase="test", include_loss=False)
+    params = _load_or_init(net, shapes, args)
+    n = save_caffemodel(net, params, args.output,
+                        state=getattr(net, "state0", None),
+                        net_name=args.model)
+    print(f"exported {n} weighted layers -> {args.output}")
+
+
 def cmd_convert_imageset(args):
     """`tools/convert_imageset.cpp`: '<path> <label>' list file -> .cerec
     record database (the LMDB analogue)."""
@@ -372,6 +387,11 @@ def main(argv=None):
     p_train.add_argument("--snapshot-interval", type=int, default=0)
     p_train.add_argument("--display", type=int, default=20)
     p_train.set_defaults(fn=cmd_train)
+
+    p_exp = sub.add_parser("export_caffemodel", parents=[common])
+    p_exp.add_argument("--output", required=True,
+                       help="destination .caffemodel path")
+    p_exp.set_defaults(fn=cmd_export_caffemodel)
 
     p_conv = sub.add_parser("convert_imageset")
     p_conv.add_argument("listfile")

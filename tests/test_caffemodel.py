@@ -13,6 +13,7 @@ from caffe_escoin_tpu.tools.caffemodel import (  # noqa: E402
     assign_to_params,
     batchnorm_state,
     load_caffemodel,
+    save_caffemodel,
 )
 
 
@@ -108,6 +109,59 @@ def test_roundtrip_modern_and_legacy(tmp_path):
     mean, var = layer._moving({k: jnp.asarray(v) for k, v in st["bn1"].items()})
     np.testing.assert_allclose(np.asarray(mean), mean_s / 2.0, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(var), var_s / 2.0, rtol=1e-5)
+
+
+def test_export_import_roundtrip_exact(tmp_path):
+    """save_caffemodel -> load_caffemodel -> assign_to_params reproduces the
+    original params bit-exactly (incl. the OIHW<->HWIO and fc-row
+    (h,w,c)<->(c,h,w) inversions, BN state blobs, Scale gamma/beta) and
+    the re-imported net computes the identical forward.
+
+    Exercises the reverse of `Net::ToProto` (`src/caffe/net.cpp:910+`)."""
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.nn import Net
+
+    builder, _ = ZOO["cifar10_bn"]  # conv + BN + Scale + pool + fc
+    net = Net(builder(num_classes=6), phase="test")
+    shapes = {"data": (2, 32, 32, 3)}
+    rng = np.random.default_rng(7)
+    params = net.init(jax.random.PRNGKey(3), shapes)
+    # randomize every leaf so equality is a real check (init zeros biases)
+    params = jax.tree_util.tree_map(
+        lambda a: np.asarray(rng.standard_normal(np.shape(a)), np.float32)
+        * 0.1, params)
+    state = {k: dict(v) for k, v in net.state0.items()}
+    for s in state.values():
+        if "mean_acc" in s:
+            s["mean_acc"] = rng.standard_normal(
+                np.shape(s["mean_acc"])).astype(np.float32)
+            s["var_acc"] = np.abs(rng.standard_normal(
+                np.shape(s["var_acc"]))).astype(np.float32) + 1.0
+            s["count"] = np.float32(1.0)
+
+    path = str(tmp_path / "rt.caffemodel")
+    n = save_caffemodel(net, params, path, state=state, log=lambda m: None)
+    assert n >= 3
+
+    loaded = load_caffemodel(path)
+    net2 = Net(builder(num_classes=6), phase="test")
+    params2 = net2.init(jax.random.PRNGKey(0), shapes)
+    imported = assign_to_params(net2, params2, loaded, log=lambda m: None)
+    st2 = dict(net2.state0)
+    st2.update({k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                for k, v in batchnorm_state(loaded).items()})
+
+    for lname, p in params.items():
+        for k, v in p.items():
+            np.testing.assert_array_equal(
+                np.asarray(imported[lname][k]), np.asarray(v),
+                err_msg=f"{lname}.{k}")
+    x = jnp.asarray(rng.standard_normal(shapes["data"]).astype(np.float32))
+    y1 = net.apply(params, {"data": x}, state=state)
+    y2 = net2.apply(imported, {"data": x}, state=st2)
+    k = next(iter(y1))
+    np.testing.assert_allclose(np.asarray(y1[k]), np.asarray(y2[k]),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_import_into_lenet_matches_manual_forward(tmp_path):
