@@ -844,3 +844,37 @@ class EmbedLayer(Layer):
 
     def apply(self, params, inputs, *, train, rng):
         return [jnp.take(params["w"], inputs[0].astype(jnp.int32), axis=0)]
+
+
+@register_layer("Python")
+class PythonLayer(Layer):
+    """User-defined layer resolved at Net build time — the analogue of the
+    reference's boost::python PythonLayer (`include/caffe/layers/
+    python_layer.hpp`, prototxt `python_param {module, layer, param_str}`).
+
+    The target class (``<module>.<layer>``) must subclass
+    ``caffe_escoin_tpu.nn.Layer`` — in this framework every layer already
+    IS Python, so the "Python layer" contract is simply the ordinary Layer
+    contract, with the class located by name instead of by registry. The
+    instance replaces PythonLayer entirely (``__new__`` returns it), so
+    init/apply/align/state all run on the user's class. ``param_str`` (an
+    arbitrary user string, JSON by convention) is merged into
+    ``spec.params`` under ``param_str`` before construction.
+
+    Note the jit contract still applies: ``apply`` must be traceable
+    (no data-dependent Python control flow)."""
+
+    def __new__(cls, spec, policy):
+        import importlib
+
+        module = spec.params.get("module")
+        lname = spec.params.get("layer")
+        if not module or not lname:
+            raise ValueError(
+                f"Python layer {spec.name!r} needs python_param "
+                f"module/layer (got module={module!r}, layer={lname!r})")
+        target = getattr(importlib.import_module(module), lname)
+        if not (isinstance(target, type) and issubclass(target, Layer)):
+            raise TypeError(
+                f"{module}.{lname} must subclass caffe_escoin_tpu.nn.Layer")
+        return target(spec, policy)

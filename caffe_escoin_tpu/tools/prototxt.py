@@ -325,6 +325,15 @@ def _layer_params(type_: str, msg) -> Dict[str, Any]:
     elif type_ == "Flatten":
         fp = _one(msg, "flatten_param", {})
         p["axis"] = _one(fp, "axis", 1)
+    elif type_ == "Python":
+        # PythonParameter (`caffe.proto` python_param): the user's layer
+        # class, resolved at Net build time by nn.layers.PythonLayer
+        pp = _one(msg, "python_param", {})
+        p["module"] = str(_one(pp, "module", ""))
+        p["layer"] = str(_one(pp, "layer", ""))
+        ps = _one(pp, "param_str", "")
+        if ps:
+            p["param_str"] = str(ps)
     elif type_ == "Reshape":
         rp = _one(msg, "reshape_param", {})
         shape = _one(rp, "shape", {})

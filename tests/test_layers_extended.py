@@ -202,3 +202,46 @@ def test_misc_new_layers(rng):
     pp = pnet.init(jax.random.PRNGKey(0), {})
     out = pnet.apply(pp, {})
     np.testing.assert_array_equal(np.asarray(out["p"]), np.full((3, 2), 2.0))
+
+
+def test_python_layer_resolves_user_class(tmp_path, monkeypatch):
+    """Reference PythonLayer (`python_layer.hpp`): `type: "Python"` +
+    python_param {module, layer} resolves a user Layer subclass by name,
+    both from LayerSpec and from prototxt text."""
+    import sys
+
+    mod = tmp_path / "userlayers.py"
+    mod.write_text(
+        "import jax.numpy as jnp\n"
+        "from caffe_escoin_tpu.nn import Layer\n"
+        "class DoubleLayer(Layer):\n"
+        "    def apply(self, params, inputs, *, train, rng):\n"
+        "        return [inputs[0] * 2.0]\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    sys.modules.pop("userlayers", None)
+
+    specs = [
+        LayerSpec("data", "Input", (), ("data",)),
+        LayerSpec("dbl", "Python", ("data",), ("dbl",),
+                  params=dict(module="userlayers", layer="DoubleLayer")),
+    ]
+    net = Net(specs)
+    params = net.init(jax.random.PRNGKey(0), {"data": (2, 3)})
+    x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(2, 3))
+    out = net.apply(params, {"data": x})["dbl"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+
+    # same through prototxt ingestion
+    from caffe_escoin_tpu.tools.prototxt import net_from_prototxt
+    txt = '''
+name: "pynet"
+layer { name: "data" type: "Input" top: "data"
+        input_param { shape { dim: 2 dim: 3 } } }
+layer { name: "dbl" type: "Python" bottom: "data" top: "dbl"
+        python_param { module: "userlayers" layer: "DoubleLayer" } }
+'''
+    pspecs, shapes, _ = net_from_prototxt(txt)
+    net2 = Net(pspecs)
+    p2 = net2.init(jax.random.PRNGKey(0), {"data": (2, 3)})
+    out2 = net2.apply(p2, {"data": x})["dbl"]
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x) * 2.0)
