@@ -29,6 +29,16 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-3,
                     help="max allowed |prob diff| (f32 accumulation-order "
                          "tolerance; reference defined none)")
+    ap.add_argument("--weights", default="",
+                    help="trained weights: a framework checkpoint (.npz "
+                         "prefix) or a .caffemodel — parity on REAL "
+                         "weights instead of random init (pass "
+                         "--sparsity 0 if the checkpoint is already "
+                         "pruned)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="apply inference graph fusion (BN/Scale fold + "
+                         "ReLU/residual epilogues) to every arm before "
+                         "comparing — checks the deployed graph")
     args = ap.parse_args(argv)
 
     if args.platform != "auto":
@@ -58,29 +68,72 @@ def main(argv=None):
     base_net = make_net(ConvMode.LOWERED_GEMM)
     params = base_net.init(jax.random.PRNGKey(args.seed),
                            {"data": data_shape})
+    state = {k: dict(v) for k, v in getattr(base_net, "state0", {}).items()}
+
+    # trained weights: real-model parity instead of random init (the
+    # check the reference ran as `caffe test` dense-vs-sparse, run.sh:3-20)
+    if args.weights and args.weights.endswith(".caffemodel"):
+        from caffe_escoin_tpu.tools.caffemodel import (assign_to_params,
+                                                       batchnorm_state,
+                                                       load_caffemodel)
+
+        loaded = load_caffemodel(args.weights)
+        params = assign_to_params(base_net, params, loaded)
+        for n, st in batchnorm_state(loaded).items():
+            if n in state:
+                state[n] = {k: jnp.asarray(v) for k, v in st.items()}
+        print(f"parity on imported caffemodel weights: {args.weights}")
+    elif args.weights:
+        from caffe_escoin_tpu.engine.checkpoint import load_checkpoint_full
+
+        loaded, _, net_state, _ = load_checkpoint_full(
+            args.weights.removesuffix(".npz"))
+        for n, p in loaded.items():
+            if n in params:
+                params[n] = jax.tree_util.tree_map(jnp.asarray, p)
+        if net_state:
+            for n, st in net_state.items():
+                if n in state:
+                    state[n] = {k: jnp.asarray(v) for k, v in st.items()}
+        print(f"parity on checkpoint weights: {args.weights}")
+
     pruned = dict(params)
-    for layer in base_net.layers:
-        n = layer.spec.name
-        if n in pruned and layer.spec.type in ("Convolution", "ConvolutionReLU"):
-            w = np.asarray(pruned[n]["w"])
-            if w.shape[0] * w.shape[1] * w.shape[2] < 32:
-                continue
-            q = dict(pruned[n])
-            q["w"] = jnp.asarray(prune_conv_weight(w, args.sparsity,
-                                                   tuple(args.block_shape)))
-            pruned[n] = q
+    if args.sparsity > 0:
+        for layer in base_net.layers:
+            n = layer.spec.name
+            if n in pruned and layer.spec.type in ("Convolution",
+                                                   "ConvolutionReLU"):
+                w = np.asarray(pruned[n]["w"])
+                if w.shape[0] * w.shape[1] * w.shape[2] < 32:
+                    continue
+                q = dict(pruned[n])
+                q["w"] = jnp.asarray(
+                    prune_conv_weight(w, args.sparsity,
+                                      tuple(args.block_shape)))
+                pruned[n] = q
+
+    def maybe_fuse(net, p):
+        if not args.fuse:
+            return net, p, state
+        from caffe_escoin_tpu.nn.fuse import fuse_inference
+
+        fnet, fp = fuse_inference(net, p, state=state)
+        return fnet, fp, None  # BN folded: no state channel left
 
     xs = [jnp.asarray(rng.standard_normal(data_shape), jnp.float32)
           for _ in range(args.batches)]
-    ref_probs = [np.asarray(base_net.apply(pruned, {"data": x})["prob"])
+    bnet, bparams, bstate = maybe_fuse(base_net, pruned)
+    ref_probs = [np.asarray(bnet.apply(bparams, {"data": x},
+                                       state=bstate)["prob"])
                  for x in xs]
 
     ok = True
     for mode in (ConvMode.LOWERED_SPARSE, ConvMode.SCONV, ConvMode.SCONV_PAR):
         net = make_net(mode)
         net.init(jax.random.PRNGKey(args.seed), {"data": data_shape})
-        aligned = net.weight_align(pruned)
-        fwd = jax.jit(lambda p, b: net.apply(p, b))
+        net, pruned_m, st_m = maybe_fuse(net, pruned)
+        aligned = net.weight_align(pruned_m)
+        fwd = jax.jit(lambda p, b: net.apply(p, b, state=st_m))
         max_diff = 0.0
         top1_agree = top5_overlap = total = 0
         for x, ref in zip(xs, ref_probs):
