@@ -15,8 +15,8 @@ def main(path="BENCH_SWEEP.jsonl"):
         r = json.loads(line)
         if "metric" in r:
             rows.append(r)
-    print("| metric | vs dense-bf16 | vs dense-f32 | notes |")
-    print("|---|---|---|---|")
+    print("| metric | batch | vs dense-bf16 | vs dense-f32 | notes |")
+    print("|---|---|---|---|---|")
     for r in rows:
         notes = []
         if "gnnz_per_s" in r:
@@ -25,7 +25,8 @@ def main(path="BENCH_SWEEP.jsonl"):
             notes.append(f"sparse {r['t_sparse_ms']}ms "
                          f"bf16 {r['t_dense_bf16_ms']}ms")
         vs_f32 = r.get("speedup_vs_dense_f32", "")
-        print(f"| {r['metric']} | {r.get('value','')}x | "
+        print(f"| {r['metric']} | {r.get('batch','')} | "
+              f"{r.get('value','')}x | "
               f"{vs_f32}{'x' if vs_f32 != '' else ''} | "
               f"{', '.join(notes)} |")
 
