@@ -87,6 +87,20 @@ def best_arm(aligned: AlignedConvWeight, policy, *, x_shape=None,
     arm = getattr(policy, "xbsp_arm", "auto")
     if arm != "auto":
         return arm
+    # BLOCK-density profitability (the reference's element-density
+    # fallback, `base_conv_layer.cpp:752`, at the granularity the MXU
+    # skips): a weight that is element-sparse but block-dense (e.g. 90%
+    # UNSTRUCTURED pruning -> ~every 128x128 block live) would make the
+    # unroll do ~dense FLOPs in a worse schedule than XLA's conv. This
+    # gate runs BEFORE autotune: per-layer isolated measurement keeps the
+    # weight blocks VMEM-warm, which flatters a many-small-dots schedule
+    # that re-reads operands — measured r3 on-chip: unstructured-90%
+    # ResNet-50 autotuned to unroll/gathered per layer yet ran 0.43x vs
+    # dense-bf16 END-TO-END, while the dense fallback is ~1.0x by
+    # construction. At >=50% live blocks no dot-chain schedule can beat
+    # one dense conv on cold HBM, so don't let warm microbenchmarks vote.
+    if aligned.block_density > 0.5:
+        return "dense"
     if getattr(policy, "autotune", False) and x_shape is not None:
         from caffe_escoin_tpu.engine import autotune
 
@@ -94,13 +108,6 @@ def best_arm(aligned: AlignedConvWeight, policy, *, x_shape=None,
                                   padding, dilation)
         if got is not None:
             return got
-    # BLOCK-density profitability (the reference's element-density
-    # fallback, `base_conv_layer.cpp:752`, at the granularity the MXU
-    # skips): a weight that is element-sparse but block-dense (e.g. 90%
-    # UNSTRUCTURED pruning -> ~every 128x128 block live) would make the
-    # unroll do ~dense FLOPs in a worse schedule than XLA's conv.
-    if aligned.block_density > 0.5:
-        return "dense"
     kh, kw = aligned.kernel_shape
     if not (kh == kw == 1 and aligned.cout > aligned.cin):
         return "unroll"

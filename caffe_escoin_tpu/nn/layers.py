@@ -223,6 +223,12 @@ class InnerProductLayer(Layer):
             if (
                 aligned.bsc is not None
                 and aligned.sparsity >= self.policy.sparse_threshold
+                # block-density profitability, same gate as the conv
+                # dispatcher (xla_block_sparse.best_arm): an element-sparse
+                # but block-dense pattern (unstructured pruning) does
+                # ~dense FLOPs through the block unroll — run the one
+                # dense matmul instead
+                and aligned.block_density <= 0.5
                 and self.policy.conv_mode != ConvMode.LOWERED_GEMM
             ):
                 if aligned.cin_pad != aligned.cin:

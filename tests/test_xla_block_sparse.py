@@ -255,3 +255,64 @@ def test_gathered_cols_dispatch_via_policy():
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_block_dense_gate_precedes_autotune(tmp_path, monkeypatch):
+    """The block-density dense fallback must run BEFORE the autotune cache:
+    per-layer isolated measurement keeps weight blocks VMEM-warm and can
+    (measured r3 on-chip) pick unroll/gathered for unstructured-dense
+    patterns that lose 2x end-to-end. A poisoned cache entry must not be
+    consulted."""
+    rng = np.random.default_rng(9)
+    pol = ExecutionPolicy(block_shape=(128, 128), autotune=True)
+    w = prune_conv_weight(
+        rng.standard_normal((1, 1, 128, 256)).astype(np.float32), 0.9,
+        None)  # unstructured -> every block live
+    al = weight_align(w, None, policy=pol)
+    assert al.block_density > 0.9
+
+    from caffe_escoin_tpu.engine import autotune as at
+    x_shape = (2, 8, 8, 128)
+    key = at.cache_key(al, x_shape, (1, 1), (0, 0), (1, 1),
+                       pol.resolved_mxu_dtype())
+    with at._LOCK:
+        at._CACHE[key] = "unroll"  # poison: what a warm microbench chose
+    try:
+        assert xla_block_sparse.best_arm(
+            al, pol, x_shape=x_shape, stride=(1, 1), padding=(0, 0),
+            dilation=(1, 1)) == "dense"
+    finally:
+        with at._LOCK:
+            at._CACHE.pop(key, None)
+
+
+def test_fc_unstructured_pattern_uses_dense_matmul():
+    """InnerProduct sparse gate mirrors the conv block-density rule: an
+    element-sparse but block-dense fc weight must run the single dense
+    matmul, not the block unroll."""
+    from caffe_escoin_tpu.nn import LayerSpec, Net
+
+    rng = np.random.default_rng(10)
+    pol = ExecutionPolicy(conv_mode=ConvMode.SCONV_PAR,
+                          block_shape=(128, 128))
+    specs = [
+        LayerSpec("data", "Input", (), ("data",)),
+        LayerSpec("fc", "InnerProduct", ("data",), ("fc",),
+                  params=dict(num_output=256)),
+    ]
+    net = Net(specs, policy=pol)
+    params = net.init(jax.random.PRNGKey(0), {"data": (2, 256)})
+    w = np.asarray(params["fc"]["w"])
+    from caffe_escoin_tpu.utils.pruning import prune_magnitude
+    params["fc"] = dict(params["fc"], w=jnp.asarray(prune_magnitude(w, 0.9)))
+    aligned = net.weight_align(params)
+    al = aligned["fc"]
+    assert al.block_density > 0.9
+    x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+    out = net.apply(aligned, {"data": x})["fc"]
+    ref = x @ jnp.asarray(params["fc"]["w"]) + jnp.asarray(params["fc"]["b"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # the dispatch decision itself: block-dense -> NOT the sparse branch
+    assert not (al.bsc is not None and al.sparsity >= pol.sparse_threshold
+                and al.block_density <= 0.5)
