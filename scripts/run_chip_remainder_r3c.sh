@@ -26,4 +26,7 @@ CESCOIN_TPU_TESTS=1 run python -m pytest tests -m tpu -q
 run python bench.py --per-layer --model googlenet --sparsity 0.9 --jsonl $J
 run python bench.py --per-layer --model vgg16     --sparsity 0.9 --jsonl $J
 run python bench.py --per-layer --model alexnet   --sparsity 0.9 --jsonl $J
+# drive the driver's end-of-round invocation shape (no flags = fused e2e
+# headline; compile-cache-warm by now)
+run python bench.py
 echo "remainder-c done" >&2
