@@ -410,7 +410,8 @@ def run_e2e(args):
                                  block_shape=(128, 128),
                                  compute_dtype=jnp.bfloat16,
                                  cast_back=False,
-                                 autotune=args.autotune)
+                                 autotune=args.autotune,
+                                 xbsp_arm=args.xbsp_arm)
     net_d = Net(builder(), policy=pol_dense, phase="test")
     net_db = Net(builder(), policy=pol_dense_bf16, phase="test")
     net_s = Net(builder(), policy=pol_sparse, phase="test")
@@ -649,6 +650,12 @@ def main():
                          "dense never-lose floor (engine/autotune.py)")
     ap.add_argument("--jsonl", default="",
                     help="append per-layer measurement rows to this file")
+    ap.add_argument("--xbsp-arm", default="auto",
+                    choices=["auto", "unroll", "gathered", "gathered_cols",
+                             "fused", "dense"],
+                    help="force one XBSP executor arm in the sparse e2e "
+                         "policy (diagnostic; 'dense' isolates dispatch/"
+                         "graph overhead from arm choice)")
     ap.add_argument("--per-layer", action="store_true",
                     help="per-layer conv-config measurement (the r1/r2 "
                          "default; now opt-in — the no-flag default is the "

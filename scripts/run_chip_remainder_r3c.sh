@@ -20,6 +20,15 @@ run python examples/train_eval_sparse.py --model alexnet --platform tpu \
     --batch 64 --base_lr 0.01 \
     --report docs/EXPERIMENTS_alexnet.md
 
+# diagnostic: googlenet e2e lost (0.89x vs bf16) with autotuned arms —
+# separate arm-pick effects (warm-bias) from structural effects
+# (cin_pad copies per inception branch, concat retiles): forced-dense
+# sparse arm should measure ~1.0x; the gap below 1.0 is structural.
+run python bench.py --e2e --model googlenet --batch 16 --repeats 8 \
+    --xbsp-arm dense
+run python bench.py --e2e --model googlenet --batch 16 --repeats 8 \
+    --no-autotune
+
 for s in 0.7 0.95 0.8; do run python bench.py --per-layer --sparsity $s --jsonl $J; done
 run python bench.py --batch-curve --repeats 8 --jsonl $J
 CESCOIN_TPU_TESTS=1 run python -m pytest tests -m tpu -q
