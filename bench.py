@@ -537,6 +537,10 @@ def run_e2e(args):
         "fused": bool(args.fuse),
         "autotune": bool(args.autotune),
     }
+    if args.xbsp_arm != "auto":
+        # diagnostic rows (forced executor arm) must be distinguishable
+        # from headline rows in the sweep record
+        result["xbsp_arm"] = args.xbsp_arm
     if buckets:
         result["buckets"] = buckets
     if args.jsonl:
@@ -681,6 +685,10 @@ def main():
         "CESCOIN_AUTOTUNE_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".autotune_tpu.json"))
+    # a cached arm served after a kernel change would silently skip
+    # re-measurement — have autotune announce every cache hit so a
+    # measurement run can tell cached picks from fresh ones
+    os.environ.setdefault("CESCOIN_AUTOTUNE_LOG_HITS", "1")
 
     import jax
 

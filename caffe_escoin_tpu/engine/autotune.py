@@ -158,6 +158,15 @@ def choose_arm(aligned, policy, x_shape, stride, padding, dilation,
     key = cache_key(aligned, x_shape, stride, padding, dilation, dtype)
     with _LOCK:
         if key in _CACHE:
+            if os.environ.get("CESCOIN_AUTOTUNE_LOG_HITS"):
+                # cached picks must be distinguishable from fresh
+                # measurements: after a kernel change, a served entry means
+                # the tuner did NOT re-time the arms (delete the cache file
+                # or unset CESCOIN_AUTOTUNE_CACHE to force re-measurement)
+                print(f"[autotune] cached arm '{_CACHE[key]}' for "
+                      f"{x_shape} k{aligned.kernel_shape} "
+                      f"cout{aligned.cout} (no re-measurement)",
+                      flush=True)
             return _CACHE[key]
     _MEASURING.active = True
     try:
