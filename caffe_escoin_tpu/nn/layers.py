@@ -220,17 +220,31 @@ class InnerProductLayer(Layer):
             )
         if isinstance(params, AlignedConvWeight):
             aligned = params
-            if (
-                aligned.bsc is not None
-                and aligned.sparsity >= self.policy.sparse_threshold
-                # block-density profitability, same gate as the conv
-                # dispatcher (xla_block_sparse.best_arm): an element-sparse
-                # but block-dense pattern (unstructured pruning) does
-                # ~dense FLOPs through the block unroll — run the one
-                # dense matmul instead
-                and aligned.block_density <= 0.5
-                and self.policy.conv_mode != ConvMode.LOWERED_GEMM
-            ):
+            # forced executor arm (diagnostics) is honored BEFORE the
+            # block-density gate, mirroring best_arm's ordering in the conv
+            # dispatcher: --xbsp-arm dense forces the dense matmul, any
+            # forced sparse arm exercises the sparse path even on
+            # block-dense weights (r3 advisor: the gate made conv and fc
+            # forced-arm semantics inconsistent)
+            forced = getattr(self.policy, "xbsp_arm", "auto")
+            if forced != "auto":
+                use_sparse = (forced != "dense"
+                              and aligned.bsc is not None
+                              and self.policy.conv_mode
+                              != ConvMode.LOWERED_GEMM)
+            else:
+                use_sparse = (
+                    aligned.bsc is not None
+                    and aligned.sparsity >= self.policy.sparse_threshold
+                    # block-density profitability, same gate as the conv
+                    # dispatcher (xla_block_sparse.best_arm): an
+                    # element-sparse but block-dense pattern (unstructured
+                    # pruning) does ~dense FLOPs through the block unroll —
+                    # run the one dense matmul instead
+                    and aligned.block_density <= 0.5
+                    and self.policy.conv_mode != ConvMode.LOWERED_GEMM
+                )
+            if use_sparse:
                 if aligned.cin_pad != aligned.cin:
                     x2 = jnp.pad(x2, ((0, 0), (0, aligned.cin_pad - aligned.cin)))
                 out = linear_ops.linear_sparse(x2, aligned.bsc, aligned.bias,
@@ -864,8 +878,10 @@ class PythonLayer(Layer):
     contract, with the class located by name instead of by registry. The
     instance replaces PythonLayer entirely (``__new__`` returns it), so
     init/apply/align/state all run on the user's class. ``param_str`` (an
-    arbitrary user string, JSON by convention) is merged into
-    ``spec.params`` under ``param_str`` before construction.
+    arbitrary user string, JSON by convention) reaches the class as
+    ``spec.params["param_str"]``: the prototxt parser (tools/prototxt.py)
+    puts it there during ingestion; programmatically-built LayerSpecs set
+    ``params={"module": ..., "layer": ..., "param_str": ...}`` directly.
 
     Note the jit contract still applies: ``apply`` must be traceable
     (no data-dependent Python control flow)."""

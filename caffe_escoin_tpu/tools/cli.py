@@ -87,14 +87,23 @@ def _load_or_init(net, shapes, args):
                                     for k, v in st.items()}
         print(f"imported caffemodel weights from {args.weights}")
     elif args.weights:
-        from caffe_escoin_tpu.engine.checkpoint import load_checkpoint
+        from caffe_escoin_tpu.engine.checkpoint import load_checkpoint_full
         import jax.numpy as jnp
 
-        loaded, _, _ = load_checkpoint(args.weights.removesuffix(".npz"))
+        loaded, _, net_state, _ = load_checkpoint_full(
+            args.weights.removesuffix(".npz"))
         # CopyTrainedLayersFrom semantics: match by layer name
         for name, p in loaded.items():
             if name in params:
                 params[name] = jax.tree_util.tree_map(jnp.asarray, p)
+        # trained BatchNorm moving stats must reach net.state0, exactly as
+        # the .caffemodel branch above does — otherwise every downstream
+        # consumer (export_caffemodel, test, time) runs inference with
+        # init-zero mean/var and exports blobs[2]==0, which the reference
+        # maps to scale 0 (silently wrong outputs)
+        for name, st in (net_state or {}).items():
+            if name in getattr(net, "state0", {}):
+                net.state0[name] = jax.tree_util.tree_map(jnp.asarray, st)
         print(f"loaded weights from {args.weights}")
     return params
 

@@ -220,3 +220,49 @@ def test_import_into_lenet_matches_manual_forward(tmp_path):
     probs = np.exp(logits - logits.max(-1, keepdims=True))
     probs /= probs.sum(-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(out), probs, rtol=1e-3, atol=1e-4)
+
+
+def test_cli_export_from_npz_checkpoint_keeps_bn_stats(tmp_path):
+    """Regression (r3 advisor, medium): `export_caffemodel --weights x.npz`
+    must export the checkpoint's TRAINED BatchNorm moving stats, not the
+    init zeros — Caffe maps blobs[2]==0 to scale 0, so a zero-stat export
+    silently corrupts every BN net consumed by reference tooling
+    (`src/caffe/layers/batch_norm_layer.cpp` scale-factor handling)."""
+    from caffe_escoin_tpu.engine.checkpoint import save_checkpoint
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.nn import Net
+    from caffe_escoin_tpu.tools import cli
+
+    builder, _ = ZOO["cifar10_bn"]
+    net = Net(builder(), phase="test")
+    params = net.init(jax.random.PRNGKey(0), {"data": (2, 32, 32, 3)})
+    rng = np.random.default_rng(11)
+    net_state = {}
+    for name, st in net.state0.items():
+        if "mean_acc" not in st:
+            continue
+        net_state[name] = {
+            "mean_acc": rng.standard_normal(
+                np.shape(st["mean_acc"])).astype(np.float32),
+            "var_acc": (np.abs(rng.standard_normal(
+                np.shape(st["var_acc"]))) + 1.0).astype(np.float32),
+            "count": np.float32(3.0),
+        }
+    assert net_state, "cifar10_bn must contain BatchNorm layers"
+
+    ckpt = str(tmp_path / "trained")
+    save_checkpoint(ckpt, params, net_state=net_state)
+    out = str(tmp_path / "export.caffemodel")
+    rc = cli.main(["export_caffemodel", "--model", "cifar10_bn",
+                   "--weights", ckpt + ".npz", "--output", out])
+    assert rc in (0, None)
+
+    exported = batchnorm_state(load_caffemodel(out))
+    assert set(exported) == set(net_state)
+    for name, st in net_state.items():
+        got = exported[name]
+        assert float(np.asarray(got["count"])) != 0.0
+        np.testing.assert_allclose(np.asarray(got["mean_acc"]),
+                                   st["mean_acc"], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got["var_acc"]),
+                                   st["var_acc"], rtol=1e-6)

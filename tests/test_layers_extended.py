@@ -245,3 +245,53 @@ layer { name: "dbl" type: "Python" bottom: "data" top: "dbl"
     p2 = net2.init(jax.random.PRNGKey(0), {"data": (2, 3)})
     out2 = net2.apply(p2, {"data": x})["dbl"]
     np.testing.assert_allclose(np.asarray(out2), np.asarray(x) * 2.0)
+
+
+def test_fc_forced_arm_overrides_block_density_gate(monkeypatch):
+    """A forced policy.xbsp_arm bypasses the InnerProduct block-density
+    gate, mirroring the conv dispatcher's ordering (best_arm honors a
+    non-auto arm first) — so `--xbsp-arm gathered` can exercise the fc
+    sparse path even on block-dense (unstructured-pruned) weights, and
+    `--xbsp-arm dense` forces the dense matmul."""
+    from caffe_escoin_tpu.nn.layers import InnerProductLayer
+    from caffe_escoin_tpu.ops import linear as linear_ops
+    from caffe_escoin_tpu.utils.pruning import prune_magnitude
+
+    k, m, b = 256, 128, 4
+    rng = np.random.default_rng(0)
+    w = prune_magnitude(
+        rng.standard_normal((k, m)).astype(np.float32), 0.9)
+    x = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32))
+
+    calls = {"sparse": 0}
+    real = linear_ops.linear_sparse
+
+    def counting(*a, **kw):
+        calls["sparse"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(linear_ops, "linear_sparse", counting)
+
+    outs = {}
+    for arm in ("auto", "gathered", "dense"):
+        pol = ExecutionPolicy(conv_mode=ConvMode.SCONV_PAR,
+                              block_shape=(8, 8), xbsp_arm=arm)
+        layer = InnerProductLayer(
+            LayerSpec(name="fc", type="InnerProduct", bottoms=["x"],
+                      tops=["y"], params={"num_output": m}),
+            pol)
+        aligned = layer.align({"w": jnp.asarray(w)})
+        # 90% unstructured at 8x8 blocks is still block-dense enough to
+        # trip the gate; the forced arm must override it either way
+        before = calls["sparse"]
+        (out,) = layer.apply(aligned, [x], train=False, rng=None)
+        outs[arm] = (np.asarray(out), calls["sparse"] - before)
+
+    # auto + block-dense -> gate routes dense; forced sparse arm -> sparse
+    # executor runs; forced dense -> dense even though bsc exists
+    assert outs["gathered"][1] >= 1
+    assert outs["dense"][1] == 0
+    ref = x @ jnp.asarray(w)
+    for arm, (out, _) in outs.items():
+        np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-4,
+                                   atol=2e-4, err_msg=arm)
