@@ -482,6 +482,22 @@ def run_e2e(args):
         return out[next(iter(out))]
 
     reps = max(args.repeats, 8)
+
+    calib_report = None
+    if args.calibrate and args.autotune:
+        # graph-level validation of the per-layer autotuned picks: A/B the
+        # composed whole-net over candidate arm assignments, with the
+        # all-dense assignment as the graph-scope never-lose floor
+        # (engine/autotune.calibrate_graph; the GoogLeNet composition fix)
+        from caffe_escoin_tpu.engine import autotune as _autotune
+
+        def _time_sparse():
+            fn = net_s.inference_fn(aligned)
+            return device_time(lambda y: first(fn({"data": y})), x,
+                               iters=reps, arg_sets=[(xv,) for xv in xvars])
+
+        calib_report = _autotune.calibrate_graph(_time_sparse, log=log)
+        fwd_s = net_s.inference_fn(aligned)
     td = device_time(lambda p, y: first(fwd_d(p, {"data": y})), params_d, x,
                      iters=reps,
                      arg_sets=[(params_d, xv) for xv in xvars])
@@ -541,6 +557,11 @@ def run_e2e(args):
         # diagnostic rows (forced executor arm) must be distinguishable
         # from headline rows in the sweep record
         result["xbsp_arm"] = args.xbsp_arm
+    if calib_report is not None:
+        result["calibrated"] = True
+        result["calibration"] = {
+            k: (round(v, 6) if isinstance(v, float) else v)
+            for k, v in calib_report.items() if k != "arms"}
     if buckets:
         result["buckets"] = buckets
     if args.jsonl:
@@ -660,6 +681,11 @@ def main():
                     help="force one XBSP executor arm in the sparse e2e "
                          "policy (diagnostic; 'dense' isolates dispatch/"
                          "graph overhead from arm choice)")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="with --e2e --autotune: graph-level arm "
+                         "calibration (A/B the composed net over candidate "
+                         "assignments, dense floor included) before "
+                         "measuring; winners persist to the autotune cache")
     ap.add_argument("--per-layer", action="store_true",
                     help="per-layer conv-config measurement (the r1/r2 "
                          "default; now opt-in — the no-flag default is the "
