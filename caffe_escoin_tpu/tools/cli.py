@@ -261,6 +261,32 @@ def cmd_export_caffemodel(args):
     print(f"exported {n} weighted layers -> {args.output}")
 
 
+def cmd_export_prototxt(args):
+    """Export a model's LayerSpecs as NetParameter prototxt text — the
+    reverse of prototxt ingestion (reference counterpart:
+    `python/caffe/net_spec.py` to_proto + `tools/caffe.cpp` model IO).
+    With --fuse, exports the inference-fused graph (BN/Scale folds, ReLU
+    epilogues), so a fused net can be diffed against its original."""
+    import jax
+
+    from caffe_escoin_tpu.tools.prototxt import net_to_prototxt
+
+    net, shapes = _build_net(args, phase="test", include_loss=False)
+    if args.fuse:
+        from caffe_escoin_tpu.nn.fuse import fuse_inference
+
+        params = _load_or_init(net, shapes, args)
+        net, _ = fuse_inference(net, params, state=getattr(net, "state0",
+                                                           None))
+    specs = [l.spec for l in net.layers]
+    text = net_to_prototxt(specs, shapes, name=args.model,
+                           compat=args.compat)
+    with open(args.output, "w") as fh:
+        fh.write(text)
+    print(f"exported {len(specs)} layers -> {args.output} "
+          f"(compat={args.compat})")
+
+
 def cmd_convert_imageset(args):
     """`tools/convert_imageset.cpp`: '<path> <label>' list file -> .cerec
     record database (the LMDB analogue)."""
@@ -396,6 +422,17 @@ def main(argv=None):
     p_train.add_argument("--snapshot-interval", type=int, default=0)
     p_train.add_argument("--display", type=int, default=20)
     p_train.set_defaults(fn=cmd_train)
+
+    p_expp = sub.add_parser("export_prototxt", parents=[common])
+    p_expp.add_argument("--output", required=True,
+                        help="NetParameter text output path")
+    p_expp.add_argument("--fuse", action="store_true",
+                        help="export the inference-fused graph")
+    p_expp.add_argument("--compat", default="cescoin",
+                        choices=["cescoin", "caffe"],
+                        help="'caffe' drops framework-only params for "
+                             "strict reference consumption")
+    p_expp.set_defaults(fn=cmd_export_prototxt)
 
     p_exp = sub.add_parser("export_caffemodel", parents=[common])
     p_exp.add_argument("--output", required=True,

@@ -32,6 +32,19 @@ Layout and convention conversions applied:
 `param { lr_mult decay_mult name }` entries are preserved on
 ``spec.params["param_specs"]`` (consumed by the solver's per-param
 multipliers) and same-name param sharing maps to LayerSpec.share_params.
+
+EMISSION (net_to_prototxt / solver_to_prototxt) is the inverse — the
+counterpart of the reference's Python->prototxt path
+(`python/caffe/net_spec.py:1-230`, its NetSpec DSL's to_proto): LayerSpecs
+-> NetParameter text, NHWC shape declarations written back as NCHW, so
+fused/surgered nets can be exported, diffed against their originals, and
+reloaded (`load_net(emit(specs)) == specs`). Params the caffe.proto schema
+cannot express (fuse_relu/fuse_add epilogues, python extras) are carried
+in a ``cescoin_param { json: "..." }`` extension field the parser reads
+back; ``compat="caffe"`` drops them for strict reference-consumable
+output. The emitter self-checks: each layer's standard fields are
+reparsed internally and any param the reparse does not reproduce is moved
+to the extension field, so round-tripping is exact by construction.
 """
 
 from __future__ import annotations
@@ -146,6 +159,28 @@ def parse_text(text: str) -> Dict[str, List[Any]]:
 # ------------------------------------------------------------------
 # NetParameter -> LayerSpec conversion
 # ------------------------------------------------------------------
+
+def _to_jsonable(v):
+    """Params -> JSON with tuples preserved (JSON lists decode back to
+    tuples ambiguously; spec params use tuples for shapes/points)."""
+    if isinstance(v, tuple):
+        return {"__tuple__": [_to_jsonable(x) for x in v]}
+    if isinstance(v, list):
+        return [_to_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _to_jsonable(x) for k, x in v.items()}
+    return v
+
+
+def _from_jsonable(v):
+    if isinstance(v, dict):
+        if set(v) == {"__tuple__"}:
+            return tuple(_from_jsonable(x) for x in v["__tuple__"])
+        return {k: _from_jsonable(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_from_jsonable(x) for x in v]
+    return v
+
 
 def _one(msg, key, default=None):
     v = msg.get(key)
@@ -450,6 +485,20 @@ def net_from_prototxt(
                     param_owner[pn] = lname
         if pspecs:
             p["param_specs"] = pspecs
+        # framework extension fields (written by net_to_prototxt in
+        # cescoin-compat mode; absent from reference-authored files):
+        # cescoin_param.json carries params caffe.proto cannot express,
+        # share_params carries weight sharing declared without named
+        # ParamSpecs
+        ext = _one(msg, "cescoin_param")
+        if ext is not None and "json" in ext:
+            import json as _json
+
+            extra = _json.loads(str(_one(ext, "json")))
+            for k, v in extra.items():
+                p[k] = _from_jsonable(v)
+        if "share_params" in msg:
+            share = str(_one(msg, "share_params"))
 
         specs.append(LayerSpec(
             lname, type_, tuple(bottoms), tops=tuple(tops), params=p,
@@ -463,6 +512,277 @@ def net_from_prototxt(
 def load_net(path: str, **kw):
     with open(path) as fh:
         return net_from_prototxt(fh.read(), **kw)
+
+
+# ------------------------------------------------------------------
+# LayerSpec -> NetParameter emission (inverse of net_from_prototxt;
+# the `python/caffe/net_spec.py` to_proto counterpart)
+# ------------------------------------------------------------------
+
+def _fmt_scalar(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        body = (v.encode("unicode_escape").decode("ascii")
+                .replace('"', '\\"'))
+        return f'"{body}"'
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _fmt_scalar(v.item())
+    raise TypeError(f"prototxt: cannot emit scalar {v!r}")
+
+
+def _emit_spatial(fields: List[Tuple[str, Any]], key: str,
+                  h_key: Optional[str], w_key: Optional[str], val) -> None:
+    """Inverse of _spatial: int -> `key: v`; 2-tuple -> `_h`/`_w` fields
+    (when the schema has them) else repeated; longer tuples repeated."""
+    if isinstance(val, (tuple, list)):
+        if len(val) == 2 and h_key:
+            fields.append((h_key, val[0]))
+            fields.append((w_key, val[1]))
+        else:
+            for v in val:
+                fields.append((key, v))
+    else:
+        fields.append((key, val))
+
+
+def _emit_filler(sub: List[str], name: str, f: Optional[Dict]) -> None:
+    if not f:
+        return
+    items = [f'type: {_fmt_scalar(f.get("type", "constant"))}']
+    for k in ("value", "std", "mean", "min", "max"):
+        if k in f:
+            items.append(f"{k}: {_fmt_scalar(f[k])}")
+    sub.append(f'{name} {{ {" ".join(items)} }}')
+
+
+def _axis_to_caffe(ax: int) -> int:
+    """Inverse of _channel_axis: trailing channel -> Caffe's axis 1."""
+    return 1 if ax == -1 else ax
+
+
+def _param_fields(type_: str, p: Dict[str, Any]) -> List[str]:
+    """Type-specific *_param submessage lines for the caffe.proto schema
+    (inverse of _layer_params). Keys without a schema mapping are handled
+    by the caller's self-check + cescoin_param extension."""
+    sub: List[str] = []
+    fields: List[Tuple[str, Any]] = []
+    if type_ in ("Convolution", "ConvolutionReLU", "EscConvolution",
+                 "Deconvolution"):
+        if "num_output" in p:
+            fields.append(("num_output", p["num_output"]))
+        if "kernel" in p:
+            _emit_spatial(fields, "kernel_size", "kernel_h", "kernel_w",
+                          p["kernel"])
+        if "stride" in p:
+            _emit_spatial(fields, "stride", "stride_h", "stride_w",
+                          p["stride"])
+        if "pad" in p:
+            _emit_spatial(fields, "pad", "pad_h", "pad_w", p["pad"])
+        if "dilation" in p:
+            _emit_spatial(fields, "dilation", None, None, p["dilation"])
+        if "group" in p:
+            fields.append(("group", p["group"]))
+        if "bias_term" in p:
+            fields.append(("bias_term", p["bias_term"]))
+        _emit_filler(sub, "weight_filler", p.get("weight_filler"))
+        _emit_filler(sub, "bias_filler", p.get("bias_filler"))
+        wrap = "convolution_param"
+    elif type_ == "InnerProduct":
+        if "num_output" in p:
+            fields.append(("num_output", p["num_output"]))
+        if "bias_term" in p:
+            fields.append(("bias_term", p["bias_term"]))
+        _emit_filler(sub, "weight_filler", p.get("weight_filler"))
+        _emit_filler(sub, "bias_filler", p.get("bias_filler"))
+        wrap = "inner_product_param"
+    elif type_ == "Pooling":
+        # when the builder spec omits mode, pin the FRAMEWORK default
+        # explicitly (global pooling defaults avg here; Caffe's parser
+        # default is MAX) so reparse preserves semantics
+        default_mode = "avg" if p.get("global_pooling") else "max"
+        mode = {"max": "MAX", "avg": "AVE",
+                "stochastic": "STOCHASTIC"}[p.get("mode", default_mode)]
+        fields.append(("pool", mode))
+        if p.get("global_pooling"):
+            fields.append(("global_pooling", True))
+        else:
+            if "kernel" in p:
+                _emit_spatial(fields, "kernel_size", "kernel_h",
+                              "kernel_w", p["kernel"])
+            if "stride" in p:
+                _emit_spatial(fields, "stride", "stride_h", "stride_w",
+                              p["stride"])
+            if "pad" in p:
+                _emit_spatial(fields, "pad", "pad_h", "pad_w", p["pad"])
+        wrap = "pooling_param"
+    elif type_ == "ReLU":
+        if p.get("negative_slope"):
+            fields.append(("negative_slope", p["negative_slope"]))
+        wrap = "relu_param"
+    elif type_ == "LRN":
+        for k in ("local_size", "alpha", "beta", "k"):
+            if k in p:
+                fields.append((k, p[k]))
+        wrap = "lrn_param"
+    elif type_ == "Dropout":
+        if "ratio" in p:
+            fields.append(("dropout_ratio", p["ratio"]))
+        wrap = "dropout_param"
+    elif type_ == "Softmax":
+        if "axis" in p:
+            fields.append(("axis", _axis_to_caffe(p["axis"])))
+        wrap = "softmax_param"
+    elif type_ == "Accuracy":
+        if "top_k" in p and p["top_k"] != 1:
+            fields.append(("top_k", p["top_k"]))
+        wrap = "accuracy_param"
+    elif type_ == "Concat":
+        if "axis" in p:
+            fields.append(("axis", _axis_to_caffe(p["axis"])))
+        wrap = "concat_param"
+    elif type_ == "Slice":
+        if "axis" in p:
+            fields.append(("axis", _axis_to_caffe(p["axis"])))
+        for sp in p.get("slice_points", ()):
+            fields.append(("slice_point", sp))
+        wrap = "slice_param"
+    elif type_ == "Eltwise":
+        if "operation" in p:
+            fields.append(("operation", str(p["operation"]).upper()))
+        for c in p.get("coeffs", ()):
+            fields.append(("coeff", c))
+        wrap = "eltwise_param"
+    elif type_ == "BatchNorm":
+        for k in ("use_global_stats", "eps", "moving_average_fraction"):
+            if k in p:
+                fields.append((k, p[k]))
+        wrap = "batch_norm_param"
+    elif type_ == "Scale":
+        # ScaleParameter.bias_term defaults FALSE in caffe.proto but TRUE
+        # in the framework ScaleLayer — always emit explicitly so a spec
+        # that omitted it keeps its framework semantics on reparse
+        fields.append(("bias_term", p.get("bias_term", True)))
+        wrap = "scale_param"
+    elif type_ == "Power":
+        for k in ("power", "scale", "shift"):
+            if k in p:
+                fields.append((k, p[k]))
+        wrap = "power_param"
+    elif type_ == "Flatten":
+        if "axis" in p:
+            fields.append(("axis", p["axis"]))
+        wrap = "flatten_param"
+    elif type_ == "Python":
+        for src, dst in (("module", "module"), ("layer", "layer"),
+                         ("param_str", "param_str")):
+            if p.get(src):
+                fields.append((dst, p[src]))
+        wrap = "python_param"
+    elif type_ == "Reshape":
+        dims = list(p.get("shape", ()))
+        if len(dims) == 4:  # NHWC -> NCHW declaration
+            dims = [dims[0], dims[3], dims[1], dims[2]]
+        inner = " ".join(f"dim: {_fmt_scalar(d)}" for d in dims)
+        sub.append(f"shape {{ {inner} }}")
+        wrap = "reshape_param"
+    else:
+        return []
+    body = [f"{k}: {_fmt_scalar(v)}" for k, v in fields] + sub
+    if not body:
+        return []
+    return ([f"{wrap} {{"] + [f"  {ln}" for ln in body] + ["}"])
+
+
+def _reconstruct_params(type_: str, msg) -> Dict[str, Any]:
+    """What net_from_prototxt would reconstruct for this layer message —
+    used by the emitter's self-check (everything not reproduced goes to
+    the cescoin_param extension so round-trips are exact)."""
+    p = _layer_params(type_, msg)
+    pspecs = []
+    for pr in msg.get("param", []):
+        entry = {}
+        for k in ("lr_mult", "decay_mult", "name"):
+            if k in pr:
+                entry[k] = _one(pr, k)
+        pspecs.append(entry)
+    if pspecs:
+        p["param_specs"] = pspecs
+    return p
+
+
+def layer_to_prototxt(spec: LayerSpec, *, compat: str = "cescoin") -> str:
+    """One LayerSpec -> a `layer { ... }` text block."""
+    import json as _json
+
+    lines = [f"layer {{", f"  name: {_fmt_scalar(spec.name)}",
+             f"  type: {_fmt_scalar(spec.type)}"]
+    for b in spec.bottoms:
+        lines.append(f"  bottom: {_fmt_scalar(b)}")
+    for t in spec.tops:
+        lines.append(f"  top: {_fmt_scalar(t)}")
+    if spec.phase:
+        lines.append(f"  include {{ phase: {spec.phase.upper()} }}")
+    if spec.loss_weight:
+        lines.append(f"  loss_weight: {_fmt_scalar(spec.loss_weight)}")
+    for entry in spec.params.get("param_specs", []):
+        items = [f"{k}: {_fmt_scalar(entry[k])}"
+                 for k in ("name", "lr_mult", "decay_mult") if k in entry]
+        lines.append(f'  param {{ {" ".join(items)} }}')
+    for ln in _param_fields(spec.type, spec.params):
+        lines.append(f"  {ln}")
+    if spec.share_params and compat == "cescoin":
+        lines.append(f"  share_params: {_fmt_scalar(spec.share_params)}")
+
+    if compat == "cescoin":
+        # self-check: reparse the standard fields; any param they do not
+        # reproduce exactly rides the extension field
+        probe = parse_text("\n".join(lines[1:]))
+        rec = _reconstruct_params(spec.type, probe)
+        leftover = {k: v for k, v in spec.params.items()
+                    if k not in rec or rec[k] != v}
+        if leftover:
+            blob = _json.dumps(_to_jsonable(leftover), sort_keys=True)
+            lines.append(
+                f"  cescoin_param {{ json: {_fmt_scalar(blob)} }}")
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def net_to_prototxt(specs: List[LayerSpec],
+                    input_shapes: Optional[Dict[str, Tuple[int, ...]]] = None,
+                    *, name: str = "net",
+                    compat: str = "cescoin") -> str:
+    """LayerSpecs (+ NHWC input shapes) -> NetParameter prototxt text.
+
+    ``compat="cescoin"`` (default) guarantees
+    ``net_from_prototxt(net_to_prototxt(specs)) == specs`` via the
+    extension field; ``compat="caffe"`` emits only schema-expressible
+    fields (strictly consumable by reference tooling — framework-only
+    params like fused epilogues are dropped)."""
+    if compat not in ("cescoin", "caffe"):
+        raise ValueError(f"compat must be 'cescoin'|'caffe', got {compat!r}")
+    out = [f"name: {_fmt_scalar(name)}"]
+    for blob, shp in (input_shapes or {}).items():
+        dims = [int(d) for d in shp]
+        if len(dims) == 4:  # NHWC -> NCHW declaration
+            dims = [dims[0], dims[3], dims[1], dims[2]]
+        inner = " ".join(f"dim: {d}" for d in dims)
+        out.append(f"layer {{\n  name: {_fmt_scalar(blob)}\n"
+                   f'  type: "Input"\n  top: {_fmt_scalar(blob)}\n'
+                   f"  input_param {{ shape {{ {inner} }} }}\n}}")
+    for spec in specs:
+        out.append(layer_to_prototxt(spec, compat=compat))
+    return "\n".join(out) + "\n"
+
+
+def save_net(path: str, specs, input_shapes=None, **kw) -> None:
+    with open(path, "w") as fh:
+        fh.write(net_to_prototxt(specs, input_shapes, **kw))
 
 
 # ------------------------------------------------------------------
@@ -522,3 +842,34 @@ def solver_from_prototxt(text: str):
 def load_solver(path: str):
     with open(path) as fh:
         return solver_from_prototxt(fh.read())
+
+
+def solver_to_prototxt(cfg, run: Optional[Dict[str, Any]] = None) -> str:
+    """SolverConfig (+ run dict) -> SolverParameter text; the inverse of
+    solver_from_prototxt (round-trip exact on SolverConfig fields)."""
+    inv_types = {v: k for k, v in _SOLVER_TYPES.items()}
+    lines = [
+        f'type: {_fmt_scalar(inv_types.get(cfg.solver_type, cfg.solver_type.upper()))}',
+        f"base_lr: {_fmt_scalar(float(cfg.base_lr))}",
+        f"momentum: {_fmt_scalar(float(cfg.momentum))}",
+        f"momentum2: {_fmt_scalar(float(cfg.adam_beta2))}",
+        f"weight_decay: {_fmt_scalar(float(cfg.weight_decay))}",
+        f"regularization_type: {_fmt_scalar(cfg.regularization_type)}",
+        f"delta: {_fmt_scalar(float(cfg.delta))}",
+        f"rms_decay: {_fmt_scalar(float(cfg.rms_decay))}",
+        f"clip_gradients: {_fmt_scalar(float(cfg.clip_gradients))}",
+        f"iter_size: {_fmt_scalar(int(cfg.iter_size))}",
+        f"lr_policy: {_fmt_scalar(cfg.lr_policy)}",
+        f"gamma: {_fmt_scalar(float(cfg.gamma))}",
+        f"stepsize: {_fmt_scalar(int(cfg.step_size))}",
+        f"power: {_fmt_scalar(float(cfg.power))}",
+        f"max_iter: {_fmt_scalar(int(cfg.max_iter))}",
+    ]
+    for sv in cfg.stepvalues:
+        lines.append(f"stepvalue: {_fmt_scalar(int(sv))}")
+    for k in ("net", "train_net", "test_net", "test_iter", "test_interval",
+              "display", "snapshot", "snapshot_prefix", "random_seed"):
+        v = (run or {}).get(k)
+        if v not in (None, "", 0):
+            lines.append(f"{k}: {_fmt_scalar(v)}")
+    return "\n".join(lines) + "\n"
