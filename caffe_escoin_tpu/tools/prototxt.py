@@ -247,6 +247,86 @@ V1_TYPE_NAMES = {
 
 _DATA_TYPES = ("Data", "ImageData", "WindowData")
 
+# V0LayerParameter type STRINGS -> modern names (upgrade_proto.cpp
+# UpgradeV0LayerType, `src/caffe/util/upgrade_proto.cpp:550-620`)
+V0_TYPE_NAMES = {
+    "accuracy": "Accuracy", "bnll": "BNLL", "concat": "Concat",
+    "conv": "Convolution", "data": "Data", "dropout": "Dropout",
+    "euclidean_loss": "EuclideanLoss", "flatten": "Flatten",
+    "hdf5_data": "HDF5Data", "hdf5_output": "HDF5Output",
+    "im2col": "Im2col", "images": "ImageData",
+    "infogain_loss": "InfogainLoss", "innerproduct": "InnerProduct",
+    "lrn": "LRN", "multinomial_logistic_loss": "MultinomialLogisticLoss",
+    "pool": "Pooling", "relu": "ReLU", "sigmoid": "Sigmoid",
+    "softmax": "Softmax", "softmax_loss": "SoftmaxWithLoss",
+    "split": "Split", "tanh": "TanH", "window_data": "WindowData",
+}
+
+
+def _upgrade_v0_layer(conn) -> Tuple[str, Dict[str, List[Any]]]:
+    """V0 `layers { layer { ... } bottom top }` connection -> (modern type,
+    V1-shaped message). The field migrations of UpgradeV0LayerParameter
+    (`src/caffe/util/upgrade_proto.cpp:199-540`): layer-level pad/
+    kernelsize/stride/num_output/biasterm/group route into the type's
+    param submessage; data-layer batchsize/cropsize/mirror route into
+    data_param/transform_param; blobs_lr/weight_decay stay layer-level
+    (picked up as param_specs downstream)."""
+    v0 = _one(conn, "layer", {})
+    t = str(_one(v0, "type", "?"))
+    modern = V0_TYPE_NAMES.get(t, t)
+    msg: Dict[str, List[Any]] = {k: list(v) for k, v in conn.items()
+                                 if k != "layer"}
+    if "name" in v0:
+        msg["name"] = [str(_one(v0, "name"))]
+    for k in ("blobs_lr", "weight_decay"):
+        if k in v0:
+            msg[k] = list(v0[k])
+
+    def sub(pname):
+        return msg.setdefault(pname, [{}])[0]
+
+    def move(dst_msg, pairs):
+        for src, dst in pairs:
+            if src in v0:
+                dst_msg[dst] = list(v0[src])
+
+    if t == "conv":
+        move(sub("convolution_param"),
+             [("num_output", "num_output"), ("biasterm", "bias_term"),
+              ("pad", "pad"), ("kernelsize", "kernel_size"),
+              ("group", "group"), ("stride", "stride"),
+              ("weight_filler", "weight_filler"),
+              ("bias_filler", "bias_filler")])
+    elif t == "innerproduct":
+        move(sub("inner_product_param"),
+             [("num_output", "num_output"), ("biasterm", "bias_term"),
+              ("weight_filler", "weight_filler"),
+              ("bias_filler", "bias_filler")])
+    elif t == "pool":
+        move(sub("pooling_param"),
+             [("pad", "pad"), ("kernelsize", "kernel_size"),
+              ("stride", "stride"), ("pool", "pool")])
+    elif t == "dropout":
+        move(sub("dropout_param"), [("dropout_ratio", "dropout_ratio")])
+    elif t == "lrn":
+        move(sub("lrn_param"), [("local_size", "local_size"),
+                                ("alpha", "alpha"), ("beta", "beta"),
+                                ("k", "k")])
+    elif t == "padding":
+        if "pad" in v0:
+            msg["pad"] = list(v0["pad"])
+    elif t in ("data", "images", "window_data", "hdf5_data"):
+        pname = {"data": "data_param", "images": "image_data_param",
+                 "window_data": "window_data_param",
+                 "hdf5_data": "hdf5_data_param"}[t]
+        move(sub(pname), [("source", "source"),
+                          ("batchsize", "batch_size")])
+        move(sub("transform_param"), [("cropsize", "crop_size"),
+                                      ("mirror", "mirror"),
+                                      ("scale", "scale"),
+                                      ("meanfile", "mean_file")])
+    return modern, msg
+
 
 def _channel_axis(ax: int, default_ok=True) -> int:
     """Caffe canonical (N,C,...) axis -> this framework's trailing channel."""
@@ -420,9 +500,40 @@ def net_from_prototxt(
     raw_layers = []
     for msg in net.get("layer", []):
         raw_layers.append((str(_one(msg, "type", "?")), msg))
-    for msg in net.get("layers", []):  # V1 (upgrade_proto.cpp role)
+    for msg in net.get("layers", []):  # V1 / V0 (upgrade_proto.cpp role)
+        if "layer" in msg:  # V0 connection: `layers { layer { ... } }`
+            raw_layers.append(_upgrade_v0_layer(msg))
+            continue
         t = _one(msg, "type", "?")
         raw_layers.append((V1_TYPE_NAMES.get(str(t), str(t)), msg))
+
+    # V0 "padding" layers: fold the pad into the consuming conv and drop
+    # the layer (upgrade_proto.cpp:168-190 does exactly this)
+    pad_of: Dict[str, Tuple[Any, str]] = {}  # padded blob -> (pad, source)
+    if any(t == "padding" for t, _ in raw_layers):
+        folded = []
+        for t, m in raw_layers:
+            if t == "padding":
+                pad = _one(m, "pad", 0)
+                top = str(_one(m, "top", _one(m, "name", "")))
+                bot = str(_one(m, "bottom", top))
+                pad_of[top] = (pad, bot)
+                continue
+            if pad_of and any(str(b) in pad_of for b in m.get("bottom", [])):
+                m = dict(m)
+                newb = []
+                for b in m.get("bottom", []):
+                    if str(b) in pad_of:
+                        pad, src = pad_of[str(b)]
+                        cp = dict((m.get("convolution_param") or [{}])[0])
+                        cp["pad"] = [pad]
+                        m["convolution_param"] = [cp]
+                        newb.append(src)
+                    else:
+                        newb.append(b)
+                m["bottom"] = newb
+            folded.append((t, m))
+        raw_layers = folded
 
     # phase filter first (TRAIN/TEST twins share blob names)
     kept = [(t, m) for t, m in raw_layers
@@ -483,6 +594,18 @@ def net_from_prototxt(
                     share = param_owner[pn]
                 else:
                     param_owner[pn] = lname
+        if not pspecs and ("blobs_lr" in msg or "weight_decay" in msg):
+            # V0/V1 layer-level per-blob multipliers -> ParamSpec entries
+            # (upgrade_proto.cpp:735-744 UpgradeV1LayerParameter)
+            lrs = msg.get("blobs_lr", [])
+            wds = msg.get("weight_decay", [])
+            for i in range(max(len(lrs), len(wds))):
+                entry = {}
+                if i < len(lrs):
+                    entry["lr_mult"] = lrs[i]
+                if i < len(wds):
+                    entry["decay_mult"] = wds[i]
+                pspecs.append(entry)
         if pspecs:
             p["param_specs"] = pspecs
         # framework extension fields (written by net_to_prototxt in

@@ -421,3 +421,75 @@ def test_cli_export_prototxt_roundtrips(tmp_path):
                      "--output", fused]) in (0, None)
     fspecs, _, _ = load_net(fused)
     assert len(fspecs) <= len(specs)
+
+
+def test_v0_prototxt_upgrade():
+    """Synthesized V0 NetParameter (`layers { layer { ... } }`, layer-level
+    kernelsize/pad/stride/blobs_lr, a `padding` layer) loads through the
+    UpgradeV0LayerParameter migrations (upgrade_proto.cpp:199-540)."""
+    text = """
+    name: "v0net"
+    input: "data"
+    input_dim: 1 input_dim: 3 input_dim: 16 input_dim: 16
+    layers {
+      layer {
+        name: "pad1" type: "padding" pad: 2
+      }
+      bottom: "data" top: "pad1"
+    }
+    layers {
+      layer {
+        name: "conv1" type: "conv"
+        num_output: 8 kernelsize: 5 stride: 1 group: 1
+        blobs_lr: 1.0 blobs_lr: 2.0
+        weight_decay: 1.0 weight_decay: 0.0
+        weight_filler { type: "gaussian" std: 0.01 }
+      }
+      bottom: "pad1" top: "conv1"
+    }
+    layers {
+      layer { name: "relu1" type: "relu" }
+      bottom: "conv1" top: "conv1"
+    }
+    layers {
+      layer { name: "pool1" type: "pool" kernelsize: 2 stride: 2 pool: MAX }
+      bottom: "conv1" top: "pool1"
+    }
+    layers {
+      layer { name: "drop1" type: "dropout" dropout_ratio: 0.3 }
+      bottom: "pool1" top: "pool1"
+    }
+    layers {
+      layer { name: "fc1" type: "innerproduct" num_output: 4 }
+      bottom: "pool1" top: "fc1"
+    }
+    layers {
+      layer { name: "prob" type: "softmax" }
+      bottom: "fc1" top: "prob"
+    }
+    """
+    specs, shapes, name = net_from_prototxt(text)
+    assert name == "v0net"
+    assert shapes["data"] == (1, 16, 16, 3)
+    by_name = {s.name: s for s in specs}
+    # padding layer folded into conv1 (dropped, pad transferred, rewired)
+    assert "pad1" not in by_name
+    c1 = by_name["conv1"]
+    assert c1.type == "Convolution" and c1.bottoms == ("data",)
+    assert c1.params["num_output"] == 8
+    assert c1.params["kernel"] == 5
+    assert c1.params["pad"] == 2
+    assert c1.params["weight_filler"] == {"type": "gaussian", "std": 0.01}
+    assert c1.params["param_specs"] == [
+        {"lr_mult": 1.0, "decay_mult": 1.0},
+        {"lr_mult": 2.0, "decay_mult": 0.0}]
+    assert by_name["pool1"].params["mode"] == "max"
+    assert by_name["pool1"].params["kernel"] == 2
+    assert by_name["drop1"].params["ratio"] == 0.3
+    assert by_name["fc1"].type == "InnerProduct"
+    assert by_name["prob"].type == "Softmax"
+    # the upgraded net must actually run
+    net = Net(specs, phase="test")
+    params = net.init(jax.random.PRNGKey(0), shapes)
+    out = net.apply(params, {"data": np.zeros(shapes["data"], np.float32)})
+    assert out["prob"].shape == (1, 4)
