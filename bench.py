@@ -570,6 +570,77 @@ def run_e2e(args):
     print(json.dumps(result))
 
 
+def run_halo(args):
+    """Single-chip halo-path overhead: spatial_sconv2d on a mesh of ONE
+    device vs the plain XBSP dispatcher on identical shapes. The halo
+    path's perf evidence was virtual-CPU-mesh only (where rows measure
+    host contention); on one real chip the shard_map + halo-edge cost is
+    isolated — the reference's analogue (copy_input_data padding,
+    `math_functions.cu:729-766`) was in-kernel and free, so the halo must
+    be shown near-free too."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from caffe_escoin_tpu.engine.context import ExecutionPolicy
+    from caffe_escoin_tpu.ops import conv as conv_ops
+    from caffe_escoin_tpu.parallel import halo, mesh as mesh_lib
+    from caffe_escoin_tpu.sparse.weight_align import weight_align
+    from caffe_escoin_tpu.utils.benchmark import device_time
+    from caffe_escoin_tpu.utils.pruning import prune_conv_weight
+
+    mesh = mesh_lib.make_mesh(data=1, model=1,
+                              devices=jax.devices()[:1])
+    pol = ExecutionPolicy(block_shape=(128, 128),
+                          compute_dtype=jnp.bfloat16, cast_back=False)
+    shapes = [(56, 64, 64), (28, 128, 128), (14, 256, 256), (7, 512, 512)]
+    rng = np.random.default_rng(0)
+    rows = []
+    for hw, cin, cout in shapes:
+        w = prune_conv_weight(
+            rng.standard_normal((3, 3, cin, cout)).astype(np.float32),
+            args.sparsity, (128, 128))
+        aligned = weight_align(jnp.asarray(w), None, policy=pol)
+        xs = [jnp.asarray(rng.standard_normal(
+            (args.batch, hw, hw, cin)).astype(np.float32) * 0.1)
+            .astype(jnp.bfloat16) for _ in range(4)]
+        x = xs[0]
+
+        plain = jax.jit(lambda y: conv_ops.conv2d_sconv(
+            y, aligned, stride=(1, 1), padding=(1, 1), dilation=(1, 1),
+            policy=pol, relu=False, batch_parallel=True))
+        haloed = jax.jit(lambda y: halo.spatial_sconv2d(
+            y, aligned, mesh=mesh, padding=(1, 1), policy=pol))
+        err = float(jnp.max(jnp.abs(
+            plain(x).astype(jnp.float32) - haloed(x).astype(jnp.float32))))
+        reps = max(args.repeats, 8)
+        tp = device_time(plain, x, iters=reps,
+                         arg_sets=[(xv,) for xv in xs])
+        th = device_time(haloed, x, iters=reps,
+                         arg_sets=[(xv,) for xv in xs])
+        over = th / tp - 1.0
+        log(f"halo 1-dev {hw}x{hw} {cin}->{cout}: plain {tp*1e6:7.1f}us "
+            f"halo {th*1e6:7.1f}us overhead {over*100:+.1f}% err {err:.1e}")
+        rows.append({"metric": "halo_overhead_1dev", "h": hw, "w": hw,
+                     "cin": cin, "cout": cout, "batch": args.batch,
+                     "sparsity": args.sparsity,
+                     "t_plain_us": round(tp * 1e6, 2),
+                     "t_halo_us": round(th * 1e6, 2),
+                     "overhead": round(over, 4), "err": err,
+                     "backend": jax.default_backend()})
+    worst = max(r["overhead"] for r in rows)
+    headline = {"metric": "halo_overhead_1dev_worst",
+                "value": round(worst, 4), "unit": "fractional_overhead",
+                "vs_baseline": 1.0 if worst < 0.10 else 0.0,
+                "rows": len(rows)}
+    out = args.jsonl or "SCALING.jsonl"
+    with open(out, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write(json.dumps(headline) + "\n")
+    print(json.dumps(headline))
+
+
 def run_batch_curve(args):
     """Single-chip throughput vs batch size for the fused sparse net —
     the saturation evidence behind docs/SCALING.md's claim that the
@@ -662,6 +733,9 @@ def main():
     ap.add_argument("--batch-curve", action="store_true",
                     help="single-chip sparse throughput vs batch size "
                          "(docs/SCALING.md saturation evidence)")
+    ap.add_argument("--halo", action="store_true",
+                    help="single-chip halo-path overhead: spatial_sconv2d "
+                         "on a 1-device mesh vs plain XBSP (SCALING.jsonl)")
     ap.add_argument("--buckets", action="store_true",
                     help="with --e2e: also report conv/fc/other bucket split")
     ap.add_argument("--fuse", action=argparse.BooleanOptionalAction,
@@ -697,7 +771,7 @@ def main():
     # (`models/resnet/test_sconv.prototxt:40`). The per-layer conv-bucket
     # sweep (r1/r2's default) stays available via --per-layer.
     if not (args.e2e or args.fc or args.batch_curve or args.per_layer
-            or args.smoke):
+            or args.smoke or args.halo):
         args.e2e = True
         args.buckets = True
         if args.batch == ap.get_default("batch"):
@@ -734,6 +808,8 @@ def main():
         run_e2e(args)
     elif args.fc:
         run_fc(args)
+    elif args.halo:
+        run_halo(args)
     elif args.batch_curve:
         run_batch_curve(args)
     else:
