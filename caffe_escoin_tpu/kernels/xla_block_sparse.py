@@ -31,6 +31,8 @@ normal inference deployment shape). `supported()` checks this.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -360,13 +362,46 @@ def conv_gathered_cols(x, aligned: AlignedConvWeight, *, stride=(1, 1),
     return out[..., :aligned.cout]
 
 
+def _nopad_slab(x, khi, kwi, ph, pw, sh, sw, ho, wo, cb, bk, c):
+    """Shifted slab WITHOUT materializing a padded ifmap.
+
+    `jnp.pad(x)` consumed by several shifted-slice dots gets materialized
+    by XLA (multiple consumers defeat operand fusion) — a full extra
+    ifmap read+write. For sparse patterns with few live kernel offsets
+    that copy dominates the layer's bytes (56x56 64->64 k3 at 90%
+    measured ~2x its traffic bound, r3 sweep). Instead: slice only the
+    valid interior of the UNPADDED x and report the output-side zero pad;
+    the pad of the dot RESULT fuses into the accumulation add.
+
+    Returns (slab_or_None, ((top, bottom), (left, right)) output pad);
+    None when the offset reads only halo (contribution is zero)."""
+    n, h, w, _ = x.shape
+    # output index j reads input row r = khi - ph + sh*j; valid 0 <= r < h
+    j0 = max(0, -(-(ph - khi) // sh))
+    j1 = min(ho - 1, (h - 1 - khi + ph) // sh)
+    i0 = max(0, -(-(pw - kwi) // sw))
+    i1 = min(wo - 1, (w - 1 - kwi + pw) // sw)
+    if j0 > j1 or i0 > i1:
+        return None, ((0, ho), (0, wo))
+    r0 = khi - ph + sh * j0
+    c0 = kwi - pw + sw * i0
+    a = x[:, r0:r0 + sh * (j1 - j0) + 1:sh,
+          c0:c0 + sw * (i1 - i0) + 1:sw,
+          cb * bk:min((cb + 1) * bk, c)]
+    return a, ((j0, ho - 1 - j1), (i0, wo - 1 - i1))
+
+
 def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
          dilation=(1, 1), relu=False, residual=None):
     """Block-sparse conv via static XLA unroll. x: [N,H,W,Cin] (any float
     dtype; bf16 recommended) -> [N,Ho,Wo,Cout] in x.dtype. Supports any
     kernel size, stride and dilation (shifted slices subsample freely).
     ``residual`` [N,Ho,Wo,Cout] is a fused Eltwise-sum input added per
-    block-column in f32 before the ReLU/cast (nn/fuse.py pass B)."""
+    block-column in f32 before the ReLU/cast (nn/fuse.py pass B).
+
+    Spatial padding is pad-free by default (see _nopad_slab); set
+    CESCOIN_XBSP_PADDED=1 to restore the materialized padded-ifmap form
+    (measurement escape hatch)."""
     kh, kw = aligned.kernel_shape
     bk, bn = aligned.bsc.block_shape
     n_cin_b = aligned.cin_pad // bk
@@ -377,8 +412,9 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
     ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
     wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
 
+    nopad = not os.environ.get("CESCOIN_XBSP_PADDED")
     xp = x
-    if ph or pw:
+    if (ph or pw) and not nopad:
         xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
 
     block_row = np.asarray(jax.device_get(aligned.bsc.block_row))
@@ -392,15 +428,26 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
             kblk = int(block_row[j, s])
             off, cb = kblk // n_cin_b, kblk % n_cin_b
             khi, kwi = (off // kw) * dh, (off % kw) * dw
-            a = xp[:, khi:khi + sh * (ho - 1) + 1:sh,
-                   kwi:kwi + sw * (wo - 1) + 1:sw,
-                   cb * bk:min((cb + 1) * bk, c)]
+            opad = None
+            if nopad:
+                a, opad = _nopad_slab(x, khi, kwi, ph, pw, sh, sw, ho, wo,
+                                      cb, bk, c)
+                if a is None:
+                    continue
+                if opad == ((0, 0), (0, 0)):
+                    opad = None
+            else:
+                a = xp[:, khi:khi + sh * (ho - 1) + 1:sh,
+                       kwi:kwi + sw * (wo - 1) + 1:sw,
+                       cb * bk:min((cb + 1) * bk, c)]
             blk = wblocks[j, s]
             if a.shape[-1] < bk:  # channel tail (cin_pad > cin)
                 blk = blk[:a.shape[-1]]
             d = jax.lax.dot_general(
                 a, blk, (((3,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if opad is not None:
+                d = jnp.pad(d, ((0, 0), opad[0], opad[1], (0, 0)))
             acc = d if acc is None else acc + d
         if acc is None:
             acc = jnp.zeros((n, ho, wo, bn), jnp.float32)

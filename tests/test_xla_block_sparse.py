@@ -316,3 +316,36 @@ def test_fc_unstructured_pattern_uses_dense_matmul():
     # the dispatch decision itself: block-dense -> NOT the sparse branch
     assert not (al.bsc is not None and al.sparsity >= pol.sparse_threshold
                 and al.block_density <= 0.5)
+
+
+@pytest.mark.parametrize("h,w,k,stride,pad,dil", [
+    (8, 8, 3, 1, 1, 1),
+    (9, 7, 3, 2, 1, 1),
+    (8, 8, 5, 1, 2, 1),
+    (11, 11, 3, 1, 2, 2),
+    (8, 8, 3, 2, 0, 1),
+    (7, 7, 1, 1, 0, 1),
+])
+def test_nopad_slab_matches_padded_form(monkeypatch, h, w, k, stride, pad,
+                                        dil):
+    """The pad-free unroll (valid-interior slices + output-side zero pads,
+    _nopad_slab) computes bit-identically to the materialized padded-ifmap
+    form across strides/dilations/kernels — removing the padded-x copy
+    must not change semantics anywhere, including offsets that read only
+    halo."""
+    rng = np.random.default_rng(3)
+    cin, cout = 32, 32
+    w_ = prune_conv_weight(
+        rng.standard_normal((k, k, cin, cout)).astype(np.float32),
+        0.7, (16, 16))
+    pol = ExecutionPolicy(block_shape=(16, 16))
+    aligned = weight_align(jnp.asarray(w_), None, policy=pol)
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+    kw = dict(stride=(stride, stride), padding=(pad, pad),
+              dilation=(dil, dil))
+
+    monkeypatch.delenv("CESCOIN_XBSP_PADDED", raising=False)
+    out_nopad = np.asarray(xla_block_sparse.conv(x, aligned, **kw))
+    monkeypatch.setenv("CESCOIN_XBSP_PADDED", "1")
+    out_padded = np.asarray(xla_block_sparse.conv(x, aligned, **kw))
+    np.testing.assert_array_equal(out_nopad, out_padded)
