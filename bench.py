@@ -220,7 +220,12 @@ def run_per_layer(args):
             bk_, bn_ = aligned.bsc.block_shape
             bound = roofline_us(args.batch, h, w, cin, h // s, w // s, cout,
                                 int(bcol_nnz.sum()), bk_, bn_)
+        variant = ("padded" if os.environ.get("CESCOIN_XBSP_PADDED")
+                   else None)
         rows.append(dict(h=h, w=w, cin=cin, cout=cout, k=k, count=count,
+                         **({"xbsp_arm": args.xbsp_arm}
+                            if args.xbsp_arm != "auto" else {}),
+                         **({"variant": variant} if variant else {}),
                          t_dense_f32_us=round(tf * 1e6, 2),
                          t_dense_bf16_us=round(tb * 1e6, 2),
                          t_sparse_us=round(ts * 1e6, 2),
