@@ -71,8 +71,69 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"), ctypes.c_int,
     ]
+    try:
+        lib.bsc_sconv.restype = ctypes.c_int
+        lib.bsc_sconv.argtypes = [
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
+    except AttributeError:  # stale .so without the sconv entry point
+        pass
     _LIB = lib
     return lib
+
+
+def native_bsc_sconv(x, aligned, *, padding=(0, 0), stride=(1, 1),
+                     relu=False, threads: int = 0):
+    """Direct blocked sparse conv on the host (csrc/sconv.cc) — the CPU
+    product path (reference `caffe_cpu_blocked_sconv`,
+    `include/caffe/util/sconv.hpp:83-678`). x: [N,H,W,Cin] f32 numpy.
+    Returns [N,Ho,Wo,Cout] f32, or None when the library (or the layer's
+    BSC) is unavailable. Dilation/groups>1 use the jnp path instead."""
+    import os
+
+    lib = load_library()
+    if lib is None or not hasattr(lib, "bsc_sconv"):
+        return None
+    bsc = aligned.bsc
+    if bsc is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    n, h, w, cin = x.shape
+    kh, kw = aligned.kernel_shape
+    ph, pw = padding
+    sh, sw = stride
+    ho = (h + 2 * ph - kh) // sh + 1
+    wo = (w + 2 * pw - kw) // sw + 1
+    bk, bn = bsc.block_shape
+    blocks = np.ascontiguousarray(np.asarray(bsc.blocks), np.float32)
+    block_row = np.ascontiguousarray(np.asarray(bsc.block_row), np.int32)
+    bcol_nnz = np.ascontiguousarray(np.asarray(bsc.bcol_nnz), np.int32)
+    bias = aligned.bias
+    bias_p = None
+    if bias is not None:
+        bias_np = np.ascontiguousarray(np.asarray(bias), np.float32)
+        bias_p = bias_np.ctypes.data_as(ctypes.c_void_p)
+    out = np.empty((n, ho, wo, aligned.cout), np.float32)
+    if threads <= 0:
+        threads = min(8, os.cpu_count() or 1)
+    rc = lib.bsc_sconv(
+        x, n, h, w, cin, blocks, block_row, bcol_nnz,
+        block_row.shape[0], block_row.shape[1] if block_row.ndim > 1 else 1,
+        bk, bn, aligned.cin_pad, kh, kw, ph, pw, sh, sw, aligned.cout,
+        bias_p, int(bool(relu)), out, threads)
+    if rc != 0:
+        return None
+    return out
 
 
 class NativeCerecLoader:

@@ -98,6 +98,11 @@ class ExecutionPolicy:
     # trace (the deployment/bench switch, not the unit-test one).
     autotune: bool = False
     autotune_cache: str = ""  # JSON file persisting the measured table
+    # Native host direct sparse conv (csrc/sconv.cc via pure_callback) when
+    # running on the CPU backend — the reference's AVX blocked-sconv product
+    # path (`sconv.hpp:83-678`) rebuilt over the BSC layout. Opt-in: the
+    # jnp executors remain the default CPU test target.
+    native_cpu: bool = False
 
     def resolved_mxu_dtype(self):
         if self.mxu_dtype == "auto":

@@ -209,6 +209,50 @@ def conv2d_sconv(x, aligned: AlignedConvWeight, *, stride, padding, dilation,
             x, aligned, stride=stride, padding=padding, dilation=dilation,
             relu=relu, policy=policy, residual=residual)
 
+    # Native host path (csrc/sconv.cc): on the CPU backend, with the policy
+    # opted in and the BSC concrete, run the threaded C++ blocked direct
+    # sconv through pure_callback — the reference's CPU product path
+    # (`caffe_cpu_blocked_sconv`, sconv.hpp:83-678). Dilation falls through
+    # to the jnp executors.
+    if (getattr(policy, "native_cpu", False) and dilation == (1, 1)
+            and aligned.bsc is not None
+            and xla_block_sparse.supported(aligned, policy)):
+        import jax
+
+        if jax.default_backend() == "cpu":
+            from caffe_escoin_tpu.data import native as _native
+
+            lib = _native.load_library()
+            if lib is not None and hasattr(lib, "bsc_sconv"):
+                import numpy as _np
+
+                n, h, w, _ = x.shape
+                kh_, kw_ = aligned.kernel_shape
+                ho = (h + 2 * padding[0] - kh_) // stride[0] + 1
+                wo = (w + 2 * padding[1] - kw_) // stride[1] + 1
+
+                # the residual add happens BEFORE the ReLU, so with a
+                # residual the kernel runs pre-activation and the
+                # add + ReLU epilogue applies outside
+                kernel_relu = relu and residual is None
+
+                def _cb(xx):
+                    out = _native.native_bsc_sconv(
+                        _np.asarray(xx, _np.float32), aligned,
+                        padding=padding, stride=stride, relu=kernel_relu)
+                    return _np.asarray(out, _np.float32)
+
+                out = jax.pure_callback(
+                    _cb,
+                    jax.ShapeDtypeStruct((n, ho, wo, aligned.cout),
+                                         jnp.float32),
+                    x.astype(jnp.float32))
+                if residual is not None:
+                    out = out + residual.astype(out.dtype)
+                    if relu:
+                        out = jnp.maximum(out, 0.0)
+                return out.astype(x.dtype)
+
     # Primary arm: the XLA-native static block unroll (XBSP). Beats the
     # hand-written Pallas pipelines on every profiled ResNet-50 shape (XLA
     # streams dot operands at ~1.65 TB/s vs ~730 GB/s pallas block DMA on
