@@ -469,9 +469,9 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     if getattr(args, "platform", "auto") != "auto":
-        import jax
+        from caffe_escoin_tpu.utils.benchmark import force_platform
 
-        jax.config.update("jax_platforms", args.platform)
+        force_platform(args.platform)
     return args.fn(args)
 
 

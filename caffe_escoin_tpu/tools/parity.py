@@ -42,9 +42,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.platform != "auto":
-        import jax
+        from caffe_escoin_tpu.utils.benchmark import force_platform
 
-        jax.config.update("jax_platforms", args.platform)
+        force_platform(args.platform)
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -236,3 +236,29 @@ def device_time_cycle(pairs, *, iters: int = 20) -> float:
         sum(durs[i : i + per_iter]) for i in range(0, len(durs), per_iter)
     ]
     return statistics.median(totals) * 1e-6
+
+
+def force_platform(name: str) -> str:
+    """Route jax onto the requested platform, tolerating proxied backends.
+
+    Under a remote-TPU relay (e.g. axon) the TPU is reachable through a
+    custom platform registration: `jax_platforms="tpu"` would try to
+    initialize a LOCAL TPU and die with "No ... device found" even though
+    `jax.devices()` serves a TPU. Requesting "tpu" therefore first tries
+    the literal platform and falls back to automatic selection, which
+    resolves to the proxied chip when one is present. Returns the backend
+    actually selected."""
+    import jax
+
+    if name in ("", "auto"):
+        return jax.default_backend()
+    try:
+        jax.config.update("jax_platforms", name)
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        got = jax.default_backend()
+        if got != name:
+            raise RuntimeError(
+                f"platform {name!r} unavailable (auto selected {got!r})")
+    return jax.default_backend()

@@ -138,7 +138,9 @@ def main():
 
     import jax
     if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+        from caffe_escoin_tpu.utils.benchmark import force_platform
+
+        force_platform(args.platform)
     import jax.numpy as jnp
 
     from caffe_escoin_tpu.data.datasets import cerec_source, write_cerec

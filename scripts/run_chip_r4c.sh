@@ -51,7 +51,13 @@ run python bench.py --e2e --model alexnet --batch 32 --repeats 8 \
 # 5. The no-flag driver shape (warm cache; should reproduce step 4's b32)
 run python bench.py
 
-# 6. On-chip test lane on the new kernels
+# 6. AlexNet-scale train->prune->fine-tune->sparse experiment (r4a's run
+#    died on --platform tpu under the axon relay; force_platform fixes it)
+run python examples/train_eval_sparse.py --model alexnet --platform tpu \
+    --sparsities 0.9 --block 128,128 --iters 800 --finetune_iters 400 \
+    --batch 64 --base_lr 0.01 --report docs/EXPERIMENTS_alexnet.md
+
+# 7. On-chip test lane on the new kernels
 CESCOIN_TPU_TESTS=1 run python -m pytest tests -m tpu -q
 
 echo "r4c done" >&2
