@@ -257,6 +257,10 @@ def force_platform(name: str) -> str:
         jax.devices()
     except RuntimeError:
         jax.config.update("jax_platforms", "")
+        try:  # drop any cached failed-init state before reprobing
+            jax.clear_backends()
+        except Exception:
+            pass
         got = jax.default_backend()
         if got != name:
             raise RuntimeError(
