@@ -1,0 +1,194 @@
+"""Generate docs/BENCH_TABLES.md from the captured measurement records.
+
+Single source of truth: BENCH_SWEEP.jsonl (bench.py rows) + SCALING.jsonl
+(scaling/halo rows). Every table in the perf docs either appears here
+verbatim or cites a row present in these files — the r3 VERDICT flagged
+doc claims whose captures never ran; generating the tables from the rows
+makes that failure class impossible.
+
+Usage:
+  python scripts/report.py                  # print markdown to stdout
+  python scripts/report.py --write          # rewrite docs/BENCH_TABLES.md
+"""
+
+import json
+import sys
+
+
+def load(path):
+    rows = []
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+    except FileNotFoundError:
+        pass
+    return rows
+
+
+def latest(rows, key):
+    """Keep the LAST captured row per key (later rows supersede)."""
+    out = {}
+    for r in rows:
+        out[key(r)] = r
+    return list(out.values())
+
+
+def headline_table(rows):
+    ms = [r for r in rows if "metric" in r and "e2e" in r.get("metric", "")
+          and "unit" in r]
+    ms = latest(ms, lambda r: (r["metric"], r.get("batch"),
+                               r.get("autotune"), r.get("calibrated"),
+                               r.get("xbsp_arm"), r.get("fused")))
+    lines = [
+        "## Whole-net e2e (fused + autotuned unless noted)", "",
+        "| model / metric | batch | vs bf16 | vs f32 | sparse ms | "
+        "bf16 ms | notes |", "|---|---|---|---|---|---|---|"]
+    for r in sorted(ms, key=lambda r: (r["metric"], r.get("batch") or 0)):
+        notes = []
+        if r.get("xbsp_arm"):
+            notes.append(f"forced arm={r['xbsp_arm']} (diagnostic)")
+        if not r.get("autotune", True):
+            notes.append("no-autotune (heuristic arms)")
+        if r.get("calibrated"):
+            c = r.get("calibration", {})
+            kept = c.get("flips")
+            notes.append(
+                "graph-calibrated"
+                + (f" ({kept}/{c.get('sparse_keys')} sparse keys kept)"
+                   if kept is not None else ""))
+        if not r.get("fused", True):
+            notes.append("unfused graph")
+        lines.append(
+            f"| {r['metric']} | {r.get('batch', '')} | {r['value']}x | "
+            f"{r.get('speedup_vs_dense_f32', '')}x | "
+            f"{r.get('t_sparse_ms', '')} | {r.get('t_dense_bf16_ms', '')} | "
+            f"{'; '.join(notes)} |")
+    return lines
+
+
+def conv_bucket_table(rows):
+    ms = [r for r in rows if "metric" in r
+          and "sparse_conv_speedup" in r.get("metric", "")]
+    ms = latest(ms, lambda r: (r["metric"], r.get("batch"),
+                               r.get("autotune")))
+    lines = ["## Conv-bucket (FLOP-weighted per-layer total)", "",
+             "| metric | batch | vs bf16 | vs f32 | Gnnz/s |",
+             "|---|---|---|---|---|"]
+    for r in sorted(ms, key=lambda r: r["metric"]):
+        lines.append(
+            f"| {r['metric']} | {r.get('batch', '')} | {r['value']}x | "
+            f"{r.get('speedup_vs_dense_f32', '')}x | "
+            f"{r.get('gnnz_per_s', '')} |")
+    return lines
+
+
+def fc_table(rows):
+    ms = [r for r in rows if "fc_speedup" in str(r.get("metric", ""))]
+    if not ms:
+        return []
+    lines = ["## FC bucket", "",
+             "| metric | batch | vs bf16 | vs f32 |", "|---|---|---|---|"]
+    for r in latest(ms, lambda r: (r["metric"], r.get("batch"))):
+        lines.append(f"| {r['metric']} | {r.get('batch','')} | "
+                     f"{r['value']}x | "
+                     f"{r.get('speedup_vs_dense_f32', '')}x |")
+    return lines
+
+
+def per_layer_tables(rows):
+    pls = [r for r in rows if r.get("h") is not None and "cin" in r]
+    groups = {}
+    for r in pls:
+        groups.setdefault(
+            (r.get("model"), r.get("sparsity"), r.get("granularity"),
+             r.get("xbsp_arm"), r.get("variant")), []).append(r)
+    lines = []
+    for (model, sp, gran, arm, variant), rs in sorted(
+            groups.items(), key=lambda kv: (str(kv[0][0]), str(kv[0][1]),
+                                            str(kv[0][3]))):
+        rs = latest(rs, lambda r: (r["h"], r["w"], r["cin"], r["cout"],
+                                   r.get("k"), r.get("batch")))
+        tag = ""
+        if arm:
+            tag += f", forced arm={arm}"
+        if variant:
+            tag += f", variant={variant}"
+        lines += ["", f"## Per-layer: {model} @ {sp:.0%} {gran}{tag} "
+                      f"(batch {rs[0].get('batch', '?')})", "",
+                  "| shape | n | bf16 us | sparse us | vs bf16 | "
+                  "bound us | x of SoL |", "|---|---|---|---|---|---|---|"]
+        for r in sorted(rs, key=lambda r: -(r["t_sparse_us"]
+                                            * r.get("count", 1))):
+            lines.append(
+                f"| {r['h']}x{r['w']} {r['cin']}->{r['cout']} "
+                f"k{r.get('k','?')} | {r.get('count', 1)} | "
+                f"{r['t_dense_bf16_us']} | {r['t_sparse_us']} | "
+                f"{r.get('speedup_vs_bf16', '')}x | {r.get('bound_us', '')} "
+                f"| {r.get('x_of_bound', '')} |")
+    return lines
+
+
+def batch_curve(rows):
+    ms = [r for r in rows if r.get("metric", "").endswith(
+        "batch_curve_peak")]
+    if not ms:
+        return []
+    r = ms[-1]
+    lines = ["## Single-chip batch saturation (fused sparse ResNet-50)",
+             "", "| batch | images/s |", "|---|---|"]
+    for b, ips in r.get("rows", []):
+        lines.append(f"| {b} | {ips} |")
+    lines.append("")
+    lines.append(f"Peak {r['value']} img/s.")
+    return lines
+
+
+def halo_table(scaling_rows):
+    hs = [r for r in scaling_rows
+          if r.get("metric") == "halo_overhead_1dev"]
+    if not hs:
+        return []
+    hs = latest(hs, lambda r: (r["h"], r["cin"], r["cout"],
+                               r.get("backend")))
+    lines = ["## Halo path overhead on ONE device (shard_map edge cost)",
+             "",
+             "| shape | backend | plain us | halo us | overhead |",
+             "|---|---|---|---|---|"]
+    for r in hs:
+        lines.append(
+            f"| {r['h']}x{r['w']} {r['cin']}->{r['cout']} | "
+            f"{r.get('backend','?')} | {r['t_plain_us']} | "
+            f"{r['t_halo_us']} | {r['overhead']*100:+.1f}% |")
+    return lines
+
+
+def main(argv):
+    sweep = load("BENCH_SWEEP.jsonl")
+    scaling = load("SCALING.jsonl")
+    out = ["# Captured benchmark tables",
+           "",
+           "Generated by `python scripts/report.py --write` from "
+           "BENCH_SWEEP.jsonl + SCALING.jsonl — do not edit by hand. "
+           "Later captures supersede earlier ones per configuration; the "
+           "raw files keep the full history (including superseded and "
+           "diagnostic rows).", ""]
+    out += headline_table(sweep)
+    out += [""] + conv_bucket_table(sweep)
+    out += [""] + fc_table(sweep)
+    out += [""] + batch_curve(sweep)
+    out += [""] + halo_table(scaling)
+    out += per_layer_tables(sweep)
+    text = "\n".join(out) + "\n"
+    if "--write" in argv:
+        with open("docs/BENCH_TABLES.md", "w") as fh:
+            fh.write(text)
+        print("wrote docs/BENCH_TABLES.md")
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
