@@ -132,17 +132,18 @@ def per_layer_tables(rows):
 
 
 def batch_curve(rows):
-    ms = [r for r in rows if r.get("metric", "").endswith(
-        "batch_curve_peak")]
+    ms = [r for r in rows if r.get("kind") == "batch_curve"]
     if not ms:
         return []
-    r = ms[-1]
-    lines = ["## Single-chip batch saturation (fused sparse ResNet-50)",
-             "", "| batch | images/s |", "|---|---|"]
-    for b, ips in r.get("rows", []):
-        lines.append(f"| {b} | {ips} |")
-    lines.append("")
-    lines.append(f"Peak {r['value']} img/s.")
+    ms = latest(ms, lambda r: (r.get("model"), r["batch"]))
+    lines = ["## Single-chip batch saturation (fused sparse net)",
+             "", "| model | batch | ms | images/s |", "|---|---|---|---|"]
+    peak = 0.0
+    for r in sorted(ms, key=lambda r: (str(r.get("model")), r["batch"])):
+        peak = max(peak, r["images_per_s"])
+        lines.append(f"| {r.get('model','?')} | {r['batch']} | "
+                     f"{r['t_ms']} | {r['images_per_s']} |")
+    lines += ["", f"Peak {peak} img/s."]
     return lines
 
 
