@@ -41,6 +41,9 @@ run python bench.py --e2e --batch 32 --repeats 8 --calibrate --buckets \
     --jsonl $J
 run python bench.py --e2e --batch 8 --repeats 16 --calibrate --buckets \
     --jsonl $J
+# b64 showed a throughput REGRESSION on the batch curve (24.0k img/s vs
+# 30.3k at b32) — calibrate the b64 assignment too
+run python bench.py --e2e --batch 64 --repeats 8 --calibrate --jsonl $J
 run python bench.py --e2e --model googlenet --batch 16 --repeats 8 \
     --calibrate --buckets --jsonl $J
 run python bench.py --e2e --model vgg16 --batch 16 --repeats 8 \
