@@ -69,6 +69,31 @@ def cache_key(aligned, x_shape, stride, padding, dilation, dtype) -> str:
     return repr(parts)
 
 
+_FINGERPRINT: Optional[str] = None
+
+
+def code_fingerprint() -> str:
+    """Hash of the executor-kernel sources. A cached arm is a MEASUREMENT
+    of specific kernel code; serving it after the kernels change silently
+    skips re-measurement (the r3->r4 hazard: the committed table's winners
+    were timed against the padded-ifmap unroll). The cache file records
+    this fingerprint and is ignored wholesale on mismatch."""
+    global _FINGERPRINT
+    if _FINGERPRINT is None:
+        import hashlib
+
+        import caffe_escoin_tpu.kernels as kpkg
+
+        h = hashlib.sha256()
+        kdir = os.path.dirname(os.path.abspath(kpkg.__file__))
+        for name in sorted(os.listdir(kdir)):
+            if name.endswith(".py"):
+                with open(os.path.join(kdir, name), "rb") as fh:
+                    h.update(fh.read())
+        _FINGERPRINT = h.hexdigest()[:16]
+    return _FINGERPRINT
+
+
 def _load_file(path: str) -> None:
     with _LOCK:
         if not path or path in _LOADED_FILES:
@@ -77,9 +102,17 @@ def _load_file(path: str) -> None:
         if os.path.exists(path):
             try:
                 with open(path) as fh:
-                    _CACHE.update(json.load(fh))
+                    data = json.load(fh)
             except (OSError, json.JSONDecodeError):
-                pass
+                return
+            ver = data.pop("__kernel_fingerprint__", None)
+            if ver != code_fingerprint():
+                print(f"[autotune] cache {path} was measured against "
+                      f"different kernel code ({ver} != "
+                      f"{code_fingerprint()}); ignoring it — arms will be "
+                      f"re-measured", flush=True)
+                return
+            _CACHE.update(data)
 
 
 def _save_file(path: str) -> None:
@@ -87,7 +120,8 @@ def _save_file(path: str) -> None:
         return
     try:
         with open(path, "w") as fh:
-            json.dump(_CACHE, fh, indent=0)
+            json.dump({"__kernel_fingerprint__": code_fingerprint(),
+                       **_CACHE}, fh, indent=0)
     except OSError:
         pass
 

@@ -123,3 +123,38 @@ def test_calibrate_no_sparse_keys_is_noop():
     autotune.clear()
     rep = autotune.calibrate_graph(lambda: 1.0)
     assert rep["sparse_keys"] == 0 and rep["t_final"] == 1.0
+
+
+def test_cache_file_invalidated_on_kernel_change(tmp_path, monkeypatch):
+    """A cached arm is a measurement of specific kernel code: the cache
+    file records a kernel-source fingerprint and is ignored wholesale
+    when it doesn't match (stale winners must be re-measured, not
+    served)."""
+    import json as _json
+
+    path = str(tmp_path / "arms.json")
+    monkeypatch.setenv("CESCOIN_AUTOTUNE_CACHE", path)
+    autotune.clear()
+    autotune._CACHE["k1"] = "gathered"
+    autotune._save_file(path)
+
+    # matching fingerprint: entries load
+    autotune.clear()
+    autotune._load_file(path)
+    assert autotune._CACHE.get("k1") == "gathered"
+
+    # stale fingerprint: file ignored
+    data = _json.load(open(path))
+    data["__kernel_fingerprint__"] = "deadbeefdeadbeef"
+    _json.dump(data, open(path, "w"))
+    autotune.clear()
+    autotune._load_file(path)
+    assert "k1" not in autotune._CACHE
+
+    # legacy file without a fingerprint: also treated as stale
+    del data["__kernel_fingerprint__"]
+    _json.dump(data, open(path, "w"))
+    autotune.clear()
+    autotune._load_file(path)
+    assert "k1" not in autotune._CACHE
+    autotune.clear()
