@@ -202,8 +202,9 @@ def conv_gathered(x, aligned: AlignedConvWeight, *, stride=(1, 1),
     ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
     wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
 
+    nopad = not os.environ.get("CESCOIN_XBSP_PADDED")
     xp = x
-    if ph or pw:
+    if (ph or pw) and not nopad:
         xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
 
     block_row = np.asarray(jax.device_get(aligned.bsc.block_row))
@@ -232,16 +233,24 @@ def conv_gathered(x, aligned: AlignedConvWeight, *, stride=(1, 1),
     # skip the copy entirely (the no-op gather showed up as a full extra
     # read+write of the ifmap in profiles).
     if (kh == kw == 1 and live == list(range(n_cin_b))
-            and c == aligned.cin_pad):
+            and c == aligned.cin_pad and not (nopad and (ph or pw))):
         xg = xp[:, ::sh, ::sw, :]
     else:
         slices = []
         for kb in live:
             off, cb = kb // n_cin_b, kb % n_cin_b
             khi, kwi = (off // kw) * dh, (off % kw) * dw
-            a = xp[:, khi:khi + sh * (ho - 1) + 1:sh,
-                   kwi:kwi + sw * (wo - 1) + 1:sw,
-                   cb * bk:min((cb + 1) * bk, c)]
+            if nopad:
+                a, opad = _nopad_slab(x, khi, kwi, ph, pw, sh, sw, ho, wo,
+                                      cb, bk, c)
+                if a is None:
+                    a = jnp.zeros((n, ho, wo, bk), x.dtype)
+                elif opad != ((0, 0), (0, 0)):
+                    a = jnp.pad(a, ((0, 0), opad[0], opad[1], (0, 0)))
+            else:
+                a = xp[:, khi:khi + sh * (ho - 1) + 1:sh,
+                       kwi:kwi + sw * (wo - 1) + 1:sw,
+                       cb * bk:min((cb + 1) * bk, c)]
             if a.shape[-1] < bk:  # channel tail (cin_pad > cin)
                 a = jnp.pad(a,
                             ((0, 0), (0, 0), (0, 0), (0, bk - a.shape[-1])))
@@ -313,8 +322,9 @@ def conv_gathered_cols(x, aligned: AlignedConvWeight, *, stride=(1, 1),
     ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
     wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
 
+    nopad = not os.environ.get("CESCOIN_XBSP_PADDED")
     xp = x
-    if ph or pw:
+    if (ph or pw) and not nopad:
         xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
 
     block_row = np.asarray(jax.device_get(aligned.bsc.block_row))
@@ -324,9 +334,21 @@ def conv_gathered_cols(x, aligned: AlignedConvWeight, *, stride=(1, 1),
     def slab(kblk):
         off, cb = kblk // n_cin_b, kblk % n_cin_b
         khi, kwi = (off // kw) * dh, (off % kw) * dw
-        a = xp[:, khi:khi + sh * (ho - 1) + 1:sh,
-               kwi:kwi + sw * (wo - 1) + 1:sw,
-               cb * bk:min((cb + 1) * bk, c)]
+        if nopad:
+            # pad-free: slice the valid interior of the UNPADDED x and
+            # zero-pad the slab spatially — the pad fuses into the concat
+            # write, while a padded-x copy with several slice consumers
+            # gets materialized (see _nopad_slab)
+            a, opad = _nopad_slab(x, khi, kwi, ph, pw, sh, sw, ho, wo,
+                                  cb, bk, c)
+            if a is None:  # offset reads only halo: zero contribution
+                return jnp.zeros((n, ho, wo, bk), x.dtype)
+            if opad != ((0, 0), (0, 0)):
+                a = jnp.pad(a, ((0, 0), opad[0], opad[1], (0, 0)))
+        else:
+            a = xp[:, khi:khi + sh * (ho - 1) + 1:sh,
+                   kwi:kwi + sw * (wo - 1) + 1:sw,
+                   cb * bk:min((cb + 1) * bk, c)]
         if a.shape[-1] < bk:  # channel tail (cin_pad > cin)
             a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, bk - a.shape[-1])))
         return a

@@ -344,8 +344,11 @@ def test_nopad_slab_matches_padded_form(monkeypatch, h, w, k, stride, pad,
     kw = dict(stride=(stride, stride), padding=(pad, pad),
               dilation=(dil, dil))
 
-    monkeypatch.delenv("CESCOIN_XBSP_PADDED", raising=False)
-    out_nopad = np.asarray(xla_block_sparse.conv(x, aligned, **kw))
-    monkeypatch.setenv("CESCOIN_XBSP_PADDED", "1")
-    out_padded = np.asarray(xla_block_sparse.conv(x, aligned, **kw))
-    np.testing.assert_array_equal(out_nopad, out_padded)
+    for fn in (xla_block_sparse.conv, xla_block_sparse.conv_gathered,
+               xla_block_sparse.conv_gathered_cols):
+        monkeypatch.delenv("CESCOIN_XBSP_PADDED", raising=False)
+        out_nopad = np.asarray(fn(x, aligned, **kw))
+        monkeypatch.setenv("CESCOIN_XBSP_PADDED", "1")
+        out_padded = np.asarray(fn(x, aligned, **kw))
+        np.testing.assert_array_equal(out_nopad, out_padded,
+                                      err_msg=fn.__name__)
