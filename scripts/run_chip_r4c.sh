@@ -54,6 +54,16 @@ run python bench.py --e2e --model alexnet --batch 32 --repeats 8 \
 # 5. The no-flag driver shape (warm cache; should reproduce step 4's b32)
 run python bench.py
 
+# 5b. model per-layer sweeps on the final kernels (r4a's vgg sweep hung
+#     mid-run on a stuck remote compile; all doc tables should reflect
+#     the shipping kernel set)
+run python bench.py --per-layer --model vgg16 --sparsity 0.9 --repeats 8 \
+    --jsonl $J
+run python bench.py --per-layer --model googlenet --sparsity 0.9 \
+    --repeats 8 --jsonl $J
+run python bench.py --per-layer --model alexnet --sparsity 0.9 \
+    --repeats 8 --jsonl $J
+
 # 6. AlexNet-scale train->prune->fine-tune->sparse experiment (r4a's run
 #    died on --platform tpu under the axon relay; force_platform fixes it)
 run python examples/train_eval_sparse.py --model alexnet --platform tpu \
