@@ -143,7 +143,8 @@ def run_per_layer(args):
     rng = np.random.default_rng(0)
     policy = ExecutionPolicy(block_shape=(128, 128), spmm_tile_m=512,
                              autotune=args.autotune,
-                             compute_dtype=jnp.bfloat16, cast_back=False)
+                             compute_dtype=jnp.bfloat16, cast_back=False,
+                             xbsp_arm=args.xbsp_arm)
     block = (128, 128) if args.granularity == "block" else None
     rm = row_major_format(4)
     rows = []
@@ -220,7 +221,7 @@ def run_per_layer(args):
             bk_, bn_ = aligned.bsc.block_shape
             bound = roofline_us(args.batch, h, w, cin, h // s, w // s, cout,
                                 int(bcol_nnz.sum()), bk_, bn_)
-        variant = ("padded" if os.environ.get("CESCOIN_XBSP_PADDED")
+        variant = ("nopad" if os.environ.get("CESCOIN_XBSP_NOPAD")
                    else None)
         rows.append(dict(h=h, w=w, cin=cin, cout=cout, k=k, count=count,
                          **({"xbsp_arm": args.xbsp_arm}

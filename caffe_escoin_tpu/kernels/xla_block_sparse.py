@@ -202,7 +202,7 @@ def conv_gathered(x, aligned: AlignedConvWeight, *, stride=(1, 1),
     ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
     wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
 
-    nopad = not os.environ.get("CESCOIN_XBSP_PADDED")
+    nopad = bool(os.environ.get("CESCOIN_XBSP_NOPAD"))
     xp = x
     if (ph or pw) and not nopad:
         xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
@@ -322,7 +322,7 @@ def conv_gathered_cols(x, aligned: AlignedConvWeight, *, stride=(1, 1),
     ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
     wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
 
-    nopad = not os.environ.get("CESCOIN_XBSP_PADDED")
+    nopad = bool(os.environ.get("CESCOIN_XBSP_NOPAD"))
     xp = x
     if (ph or pw) and not nopad:
         xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
@@ -387,13 +387,16 @@ def conv_gathered_cols(x, aligned: AlignedConvWeight, *, stride=(1, 1),
 def _nopad_slab(x, khi, kwi, ph, pw, sh, sw, ho, wo, cb, bk, c):
     """Shifted slab WITHOUT materializing a padded ifmap.
 
-    `jnp.pad(x)` consumed by several shifted-slice dots gets materialized
-    by XLA (multiple consumers defeat operand fusion) — a full extra
-    ifmap read+write. For sparse patterns with few live kernel offsets
-    that copy dominates the layer's bytes (56x56 64->64 k3 at 90%
-    measured ~2x its traffic bound, r3 sweep). Instead: slice only the
-    valid interior of the UNPADDED x and report the output-side zero pad;
-    the pad of the dot RESULT fuses into the accumulation add.
+    Hypothesis tested r4 on-chip: `jnp.pad(x)` consumed by several
+    shifted-slice dots looked like a full extra ifmap read+write, so this
+    form slices only the valid interior of the UNPADDED x and zero-pads
+    the dot RESULT instead. The A/B MEASURED THE OPPOSITE on this TPU:
+    the padded-ifmap form wins (56x56 64->64 k3: 37.9us padded vs 45.8us
+    pad-free; 7x7 512x512 k3: 6.7 vs 7.8) — XLA reads the materialized
+    padded buffer with aligned tiles, while the valid-interior slices
+    force unaligned strided operand reads that cost more than the pad
+    copy saves. Kept as CESCOIN_XBSP_NOPAD=1 for measurement and for
+    hardware where the trade flips; the default is the padded form.
 
     Returns (slab_or_None, ((top, bottom), (left, right)) output pad);
     None when the offset reads only halo (contribution is zero)."""
@@ -421,9 +424,9 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
     ``residual`` [N,Ho,Wo,Cout] is a fused Eltwise-sum input added per
     block-column in f32 before the ReLU/cast (nn/fuse.py pass B).
 
-    Spatial padding is pad-free by default (see _nopad_slab); set
-    CESCOIN_XBSP_PADDED=1 to restore the materialized padded-ifmap form
-    (measurement escape hatch)."""
+    Spatial padding materializes a padded ifmap (measured faster on this
+    TPU); CESCOIN_XBSP_NOPAD=1 switches to the pad-free valid-slice form
+    (see _nopad_slab for the measured A/B)."""
     kh, kw = aligned.kernel_shape
     bk, bn = aligned.bsc.block_shape
     n_cin_b = aligned.cin_pad // bk
@@ -434,7 +437,7 @@ def conv(x, aligned: AlignedConvWeight, *, stride=(1, 1), padding=(0, 0),
     ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
     wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
 
-    nopad = not os.environ.get("CESCOIN_XBSP_PADDED")
+    nopad = bool(os.environ.get("CESCOIN_XBSP_NOPAD"))
     xp = x
     if (ph or pw) and not nopad:
         xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))

@@ -346,9 +346,9 @@ def test_nopad_slab_matches_padded_form(monkeypatch, h, w, k, stride, pad,
 
     for fn in (xla_block_sparse.conv, xla_block_sparse.conv_gathered,
                xla_block_sparse.conv_gathered_cols):
-        monkeypatch.delenv("CESCOIN_XBSP_PADDED", raising=False)
-        out_nopad = np.asarray(fn(x, aligned, **kw))
-        monkeypatch.setenv("CESCOIN_XBSP_PADDED", "1")
+        monkeypatch.delenv("CESCOIN_XBSP_NOPAD", raising=False)
         out_padded = np.asarray(fn(x, aligned, **kw))
+        monkeypatch.setenv("CESCOIN_XBSP_NOPAD", "1")
+        out_nopad = np.asarray(fn(x, aligned, **kw))
         np.testing.assert_array_equal(out_nopad, out_padded,
                                       err_msg=fn.__name__)
