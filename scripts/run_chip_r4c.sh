@@ -1,48 +1,23 @@
 #!/bin/bash
-# r4 capture, part C — pad-free unroll A/B + fresh autotune + calibrated
-# headlines on the NEW kernels. Launched with a waiter on the r4b pid;
-# runs from the LIVE repo (this is the final-code measurement pass — do
-# not edit compute-path code while it runs).
+# r4 capture, part C (relaunch) — fresh autotune + calibrated headlines on
+# the FINAL kernel set (padded-slab default restored after the A/B; the
+# variant A/B rows are already captured). Runs from the LIVE repo — no
+# compute-path edits while this runs.
 set -u
 cd /root/repo
 J=BENCH_SWEEP.jsonl
+export CESCOIN_AUTOTUNE_CACHE=/root/repo/.autotune_tpu.json
 run() { echo "=== $(date +%T) $* ===" >&2; timeout 5400 "$@"; }
 
-# 1. On-chip A/B of the pad-free unroll (forced arm, scratch cache so the
-#    committed table is untouched): padded-variant rows carry
-#    variant=padded; the same shapes with the new default follow.
-export CESCOIN_AUTOTUNE_CACHE=/tmp/autotune_r4c_ab.json
-rm -f /tmp/autotune_r4c_ab.json
-CESCOIN_XBSP_PADDED=1 run python bench.py --per-layer --sparsity 0.9 \
-    --xbsp-arm unroll --repeats 8 --jsonl $J
-run python bench.py --per-layer --sparsity 0.9 \
-    --xbsp-arm unroll --repeats 8 --jsonl $J
-
-# 2. Fresh autotune on the new kernels: the committed cache's winners were
-#    measured against the padded form — retire it and re-measure.
-python - <<'EOF'
-import json
-path = ".autotune_tpu.json"
-try:
-    old = json.load(open(path))
-    json.dump(old, open(".autotune_tpu_r3_padded.json.bak", "w"))
-except Exception:
-    old = {}
-json.dump({}, open(path, "w"))
-print(f"cleared {len(old)} cached arms (backup kept)")
-EOF
-export CESCOIN_AUTOTUNE_CACHE=/root/repo/.autotune_tpu.json
-
-# 3. Per-layer sweep with fresh autotune (new kernel set) — the doc table
+# 1. Per-layer sweep with fresh autotune (cache was cleared; winners land
+#    in .autotune_tpu.json stamped with the current kernel fingerprint)
 run python bench.py --per-layer --sparsity 0.9 --repeats 8 --jsonl $J
 
-# 4. Calibrated headlines on the new kernels (the round's record numbers)
+# 2. Calibrated headlines (the round's record numbers)
 run python bench.py --e2e --batch 32 --repeats 8 --calibrate --buckets \
     --jsonl $J
 run python bench.py --e2e --batch 8 --repeats 16 --calibrate --buckets \
     --jsonl $J
-# b64 showed a throughput REGRESSION on the batch curve (24.0k img/s vs
-# 30.3k at b32) — calibrate the b64 assignment too
 run python bench.py --e2e --batch 64 --repeats 8 --calibrate --jsonl $J
 run python bench.py --e2e --model googlenet --batch 16 --repeats 8 \
     --calibrate --buckets --jsonl $J
@@ -51,12 +26,11 @@ run python bench.py --e2e --model vgg16 --batch 16 --repeats 8 \
 run python bench.py --e2e --model alexnet --batch 32 --repeats 8 \
     --calibrate --jsonl $J
 
-# 5. The no-flag driver shape (warm cache; should reproduce step 4's b32)
+# 3. The no-flag driver shape (warm calibrated cache; should reproduce
+#    the b32 number)
 run python bench.py
 
-# 5b. model per-layer sweeps on the final kernels (r4a's vgg sweep hung
-#     mid-run on a stuck remote compile; all doc tables should reflect
-#     the shipping kernel set)
+# 4. model per-layer sweeps for the doc tables
 run python bench.py --per-layer --model vgg16 --sparsity 0.9 --repeats 8 \
     --jsonl $J
 run python bench.py --per-layer --model googlenet --sparsity 0.9 \
@@ -64,13 +38,12 @@ run python bench.py --per-layer --model googlenet --sparsity 0.9 \
 run python bench.py --per-layer --model alexnet --sparsity 0.9 \
     --repeats 8 --jsonl $J
 
-# 6. AlexNet-scale train->prune->fine-tune->sparse experiment (r4a's run
-#    died on --platform tpu under the axon relay; force_platform fixes it)
+# 5. AlexNet-scale train->prune->fine-tune->sparse experiment
 run python examples/train_eval_sparse.py --model alexnet --platform tpu \
     --sparsities 0.9 --block 128,128 --iters 800 --finetune_iters 400 \
     --batch 64 --base_lr 0.01 --report docs/EXPERIMENTS_alexnet.md
 
-# 7. On-chip test lane on the new kernels
+# 6. On-chip test lane
 CESCOIN_TPU_TESTS=1 run python -m pytest tests -m tpu -q
 
 echo "r4c done" >&2
