@@ -163,11 +163,16 @@ def measure_arms(aligned, policy, x_shape, stride, padding, dilation,
             y, wd, aligned.bias, stride=stride, padding=padding,
             dilation=dilation, groups=aligned.groups),
     }
-    # the Pallas fused-slab direct kernel (v3) competes too where its VMEM
-    # budget admits the shape — before autotune it was only reachable when
-    # the XBSP unroll could NOT run at all
+    # the Pallas fused-slab direct kernel (v3) competes where its VMEM
+    # budget admits the shape — but only when opted in
+    # (CESCOIN_AUTOTUNE_FUSED=1): it won 1 of 264 keys in the r3 table,
+    # and its fresh large-slab compiles are the prime suspect for the
+    # r4 remote-compile wedges (two ~45-min compile-service stalls, both
+    # beginning at a fresh large-shape arm measurement). It remains
+    # reachable via xbsp_arm="fused" and its own test lane.
     from caffe_escoin_tpu.kernels import sconv_fused
-    if (tuple(stride) == (1, 1) and tuple(dilation) == (1, 1)
+    if (os.environ.get("CESCOIN_AUTOTUNE_FUSED")
+            and tuple(stride) == (1, 1) and tuple(dilation) == (1, 1)
             and sconv_fused.supported(x, aligned, padding, policy)):
         cands["fused"] = lambda y: sconv_fused.sconv(
             y, aligned, padding=padding, relu=False, policy=policy)

@@ -21,5 +21,4 @@ PYEOF
   sleep 240
 done
 echo "$(date +%T) compile service recovered; launching captures" >&2
-bash /root/repo/.snap_r4b/scripts/run_chip_r4b.sh
 bash /root/repo/scripts/run_chip_r4c.sh
