@@ -502,7 +502,8 @@ def run_e2e(args):
             return device_time(lambda y: first(fn({"data": y})), x,
                                iters=reps, arg_sets=[(xv,) for xv in xvars])
 
-        calib_report = _autotune.calibrate_graph(_time_sparse, log=log)
+        calib_report = _autotune.calibrate_graph(
+            _time_sparse, polish=args.calibrate_polish, log=log)
         fwd_s = net_s.inference_fn(aligned)
     td = device_time(lambda p, y: first(fwd_d(p, {"data": y})), params_d, x,
                      iters=reps,
@@ -761,6 +762,10 @@ def main():
                     help="force one XBSP executor arm in the sparse e2e "
                          "policy (diagnostic; 'dense' isolates dispatch/"
                          "graph overhead from arm choice)")
+    ap.add_argument("--calibrate-polish", type=int, default=0,
+                    help="with --calibrate: bounded search over alternative "
+                         "arms for the highest-traffic keys after the "
+                         "composed assignment is accepted (N trials)")
     ap.add_argument("--calibrate", action="store_true",
                     help="with --e2e --autotune: graph-level arm "
                          "calibration (A/B the composed net over candidate "

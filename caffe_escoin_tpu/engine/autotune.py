@@ -258,10 +258,29 @@ def record_keys():
         _RECORDING.keys = prev
 
 
+def _key_traffic(key: str, mult: int = 1) -> float:
+    """Rough per-key time-share estimate from the cache key itself (the
+    key repr embeds x_shape/stride/cout): ifmap + ofmap bytes x layer
+    multiplicity. Used to order polish trials when isolated arm times are
+    unavailable (file-loaded winners)."""
+    import ast
+
+    try:
+        t = ast.literal_eval(key)
+        n, h, w, c = t[1]
+        sh, sw = t[4]
+        cout = t[8]
+        return float(mult) * (n * h * w * c
+                              + n * (h // sh) * (w // sw) * cout)
+    except Exception:
+        return 0.0
+
+
 def calibrate_graph(time_fn: Callable[[], float], *,
                     margin: float = 0.02,
                     keep_margin: float = 0.005,
                     max_flips: Optional[int] = None,
+                    polish: int = 0,
                     cache_path: Optional[str] = None,
                     log=None) -> Dict:
     """Whole-graph validation of the per-layer autotuned arm assignment.
@@ -318,42 +337,71 @@ def calibrate_graph(time_fn: Callable[[], float], *,
         set_overrides(assign)
         t_dense = time_fn()
         report["t_dense"] = t_dense
+        flips = 0
         if t_cur <= t_dense * (1.0 + margin):
             # isolated picks compose fine — keep them
-            report.update(t_final=t_cur, flips=len(sparse_keys),
-                          arms=dict(arms))
+            assign = dict(arms)
+            best = t_cur
+            flips = len(sparse_keys)
             if log:
                 log(f"calibrate_graph: isolated assignment stands "
                     f"({t_cur*1e3:.3f}ms vs dense floor "
                     f"{t_dense*1e3:.3f}ms)")
-            return report
+        else:
+            # estimated per-key gain from the isolated measurements
+            # (absent for file-loaded winners -> 0, recorded order)
+            def gain(k):
+                t = _TIMES.get(k, {})
+                if arms[k] in t and "dense" in t:
+                    return (t["dense"] - t[arms[k]]) * mult[k]
+                return 0.0
 
-        # estimated per-key gain from the isolated measurements (absent
-        # for file-loaded winners -> 0, tried last in recorded order)
-        def gain(k):
-            t = _TIMES.get(k, {})
-            if arms[k] in t and "dense" in t:
-                return (t["dense"] - t[arms[k]]) * mult[k]
-            return 0.0
+            order = sorted(sparse_keys, key=gain, reverse=True)
+            if max_flips is not None:
+                order = order[:max_flips]
+            best = t_dense
+            for k in order:
+                assign[k] = arms[k]
+                set_overrides(assign)
+                t = time_fn()
+                if t < best * (1.0 - keep_margin):
+                    best = t
+                    flips += 1
+                    if log:
+                        log(f"calibrate_graph: keep {arms[k]} for "
+                            f"{k[:72]}... ({t*1e3:.3f}ms)")
+                else:
+                    assign[k] = "dense"
 
-        order = sorted(sparse_keys, key=gain, reverse=True)
-        if max_flips is not None:
-            order = order[:max_flips]
-        best = t_dense
-        flips = 0
-        for k in order:
-            assign[k] = arms[k]
-            set_overrides(assign)
-            t = time_fn()
-            if t < best * (1.0 - keep_margin):
-                best = t
-                flips += 1
-                if log:
-                    log(f"calibrate_graph: keep {arms[k]} for {k[:72]}... "
-                        f"({t*1e3:.3f}ms)")
-            else:
-                assign[k] = "dense"
-        report.update(t_final=best, flips=flips, arms=dict(assign))
+        # polish: bounded search over ALTERNATIVE arms for the
+        # highest-traffic keys — the accepted assignment may still carry
+        # isolated picks that a different arm beats composed (session
+        # noise flips isolated winners on ~1/3 of keys)
+        trials = 0
+        if polish > 0:
+            order2 = sorted(assign, key=lambda k: -_key_traffic(
+                k, mult.get(k, 1)))
+            for k in order2:
+                if trials >= polish:
+                    break
+                for alt in ("dense", "unroll", "gathered",
+                            "gathered_cols"):
+                    if alt == assign[k] or trials >= polish:
+                        continue
+                    prev = assign[k]
+                    assign[k] = alt
+                    set_overrides(assign)
+                    t = time_fn()
+                    trials += 1
+                    if t < best * (1.0 - keep_margin):
+                        best = t
+                        if log:
+                            log(f"calibrate_graph: polish {prev}->{alt} "
+                                f"for {k[:64]}... ({t*1e3:.3f}ms)")
+                    else:
+                        assign[k] = prev
+        report.update(t_final=best, flips=flips, polish_trials=trials,
+                      arms=dict(assign))
         with _LOCK:
             _CACHE.update(assign)
             if path:
@@ -361,7 +409,8 @@ def calibrate_graph(time_fn: Callable[[], float], *,
         if log:
             log(f"calibrate_graph: isolated {t_cur*1e3:.3f}ms, dense floor "
                 f"{t_dense*1e3:.3f}ms, calibrated {best*1e3:.3f}ms "
-                f"({flips}/{len(sparse_keys)} sparse keys kept)")
+                f"({flips}/{len(sparse_keys)} sparse keys kept, "
+                f"{trials} polish trials)")
         return report
     finally:
         set_overrides({})

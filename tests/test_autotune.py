@@ -158,3 +158,27 @@ def test_cache_file_invalidated_on_kernel_change(tmp_path, monkeypatch):
     autotune._load_file(path)
     assert "k1" not in autotune._CACHE
     autotune.clear()
+
+
+def test_calibrate_polish_flips_to_better_alternative(two_keys):
+    """polish: even when the isolated assignment stands, a bounded search
+    tries alternative arms on high-traffic keys and keeps composed wins."""
+    key_a, key_b, consult, _ = two_keys
+
+    def time_fn():
+        a1, a2 = consult()
+        t = 1.0
+        if a1 != "dense":
+            t -= 0.1   # key_a's pick ok (stands)...
+        if a1 == "gathered_cols":
+            t -= 0.2   # ...but an alternative is better composed
+        if a2 != "dense":
+            t -= 0.1
+        return t
+
+    rep = autotune.calibrate_graph(time_fn, polish=8, log=lambda m: None)
+    assert rep["t_final"] == pytest.approx(0.6)
+    assert rep["polish_trials"] >= 1
+    assert rep["arms"][key_a] == "gathered_cols"
+    assert autotune._CACHE[key_a] == "gathered_cols"
+    assert consult()[0] == "gathered_cols"
