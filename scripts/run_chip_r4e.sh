@@ -1,0 +1,18 @@
+#!/bin/bash
+# r4 capture, part E — polish pass on the two headline configs (bounded
+# alternative-arm search at graph scope), after r4d.
+set -u
+cd /root/repo
+J=BENCH_SWEEP.jsonl
+export CESCOIN_AUTOTUNE_CACHE=/root/repo/.autotune_tpu.json
+run() { echo "=== $(date +%T) $* ===" >&2; timeout 5400 "$@"; }
+
+run python bench.py --e2e --batch 32 --repeats 8 --calibrate \
+    --calibrate-polish 14 --buckets --jsonl $J
+run python bench.py --e2e --model googlenet --batch 16 --repeats 8 \
+    --calibrate --calibrate-polish 14 --jsonl $J
+run python bench.py --e2e --batch 8 --repeats 16 --calibrate \
+    --calibrate-polish 10 --jsonl $J
+# final no-flag driver shape on the polished cache
+run python bench.py
+echo "r4e done" >&2
