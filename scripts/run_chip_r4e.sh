@@ -15,4 +15,12 @@ run python bench.py --e2e --batch 8 --repeats 16 --calibrate \
     --calibrate-polish 10 --jsonl $J
 # final no-flag driver shape on the polished cache
 run python bench.py
+
+# remaining per-layer model sweeps (VERDICT #3): alexnet never ran; vgg
+# died after 2 shapes on the wedged compile — vgg goes LAST (its
+# 56x56x256x256 fresh arm compiles are the wedge suspects)
+run python bench.py --per-layer --model alexnet --sparsity 0.9 \
+    --repeats 8 --jsonl $J
+run python bench.py --per-layer --model vgg16 --sparsity 0.9 \
+    --repeats 8 --jsonl $J
 echo "r4e done" >&2
