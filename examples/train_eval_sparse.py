@@ -128,6 +128,11 @@ def main():
     ap.add_argument("--sparsities", default="0.7,0.9")
     ap.add_argument("--block", default="8,8",
                     help="block shape for structured pruning (bm,bk)")
+    ap.add_argument("--filler", default="",
+                    help="override every weight_filler type (e.g. xavier):"
+                         " AlexNet's 1989 gaussian-0.01 recipe plateaus at"
+                         " chance on small datasets; the experiment's"
+                         " subject is the pruning pipeline, not the init")
     ap.add_argument("--report", default="")
     ap.add_argument("--workdir", default="/tmp/cescoin_experiment")
     ap.add_argument("--platform", default="cpu",
@@ -156,9 +161,21 @@ def main():
 
     def builder(**kw):
         try:
-            return builder_raw(num_classes=10, **kw)
+            specs = builder_raw(num_classes=10, **kw)
         except TypeError:
-            return builder_raw(**kw)
+            specs = builder_raw(**kw)
+        if args.filler:
+            import dataclasses
+
+            out = []
+            for sp in specs:
+                if "weight_filler" in sp.params:
+                    q = dict(sp.params)
+                    q["weight_filler"] = {"type": args.filler}
+                    sp = dataclasses.replace(sp, params=q)
+                out.append(sp)
+            specs = out
+        return specs
     size = input_shapes["data"][1]
     channels = input_shapes["data"][3]
     (trd, trl), (ted, tel) = load_digits_upscaled(size, channels)

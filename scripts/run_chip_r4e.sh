@@ -16,6 +16,14 @@ run python bench.py --e2e --batch 8 --repeats 16 --calibrate \
 # final no-flag driver shape on the polished cache
 run python bench.py
 
+# AlexNet-scale experiment RETRY with xavier fillers: the classic
+# gaussian-0.01 init plateaued at chance (8.6%) on the digits set —
+# r4d's run produced an unlearned model
+run python examples/train_eval_sparse.py --model alexnet --platform tpu \
+    --sparsities 0.9 --block 128,128 --iters 1200 --finetune_iters 500 \
+    --batch 64 --base_lr 0.01 --filler xavier \
+    --report docs/EXPERIMENTS_alexnet.md
+
 # remaining per-layer model sweeps (VERDICT #3): alexnet never ran; vgg
 # died after 2 shapes on the wedged compile — vgg goes LAST (its
 # 56x56x256x256 fresh arm compiles are the wedge suspects)
