@@ -391,7 +391,14 @@ def calibrate_graph(time_fn: Callable[[], float], *,
                     prev = assign[k]
                     assign[k] = alt
                     set_overrides(assign)
-                    t = time_fn()
+                    try:
+                        t = time_fn()
+                    except Exception:
+                        # an alternative arm may not be executable for
+                        # this shape — treat as no-improvement
+                        assign[k] = prev
+                        trials += 1
+                        continue
                     trials += 1
                     if t < best * (1.0 - keep_margin):
                         best = t
