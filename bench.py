@@ -498,12 +498,15 @@ def run_e2e(args):
         from caffe_escoin_tpu.engine import autotune as _autotune
 
         def _time_sparse():
-            fn = net_s.inference_fn(aligned)
-            return device_time(lambda y: first(fn({"data": y})), x,
-                               iters=reps, arg_sets=[(xv,) for xv in xvars])
+            with _autotune.net_scope(args.model):
+                fn = net_s.inference_fn(aligned)
+                return device_time(lambda y: first(fn({"data": y})), x,
+                                   iters=reps,
+                                   arg_sets=[(xv,) for xv in xvars])
 
         calib_report = _autotune.calibrate_graph(
-            _time_sparse, polish=args.calibrate_polish, log=log)
+            _time_sparse, polish=args.calibrate_polish,
+            net_tag=args.model, log=log)
         fwd_s = net_s.inference_fn(aligned)
     td = device_time(lambda p, y: first(fwd_d(p, {"data": y})), params_d, x,
                      iters=reps,
@@ -511,8 +514,12 @@ def run_e2e(args):
     tdb = device_time(lambda p, y: first(fwd_db(p, {"data": y})), params_db,
                       x, iters=reps,
                       arg_sets=[(params_db, xv) for xv in xvars])
-    ts = device_time(lambda y: first(fwd_s({"data": y})), x,
-                     iters=reps, arg_sets=[(xv,) for xv in xvars])
+    # the sparse trace consults the autotune cache: serve this net's
+    # calibrated (net-scoped) assignment when one was persisted
+    from caffe_escoin_tpu.engine import autotune as _at_scope
+    with _at_scope.net_scope(args.model):
+        ts = device_time(lambda y: first(fwd_s({"data": y})), x,
+                         iters=reps, arg_sets=[(xv,) for xv in xvars])
     log(f"e2e {args.model} batch {args.batch}: dense-f32 {td*1e3:.2f}ms "
         f"dense-bf16 {tdb*1e3:.2f}ms sparse {ts*1e3:.2f}ms "
         f"-> vs_f32 {td/ts:.2f}x vs_bf16 {tdb/ts:.2f}x")

@@ -41,8 +41,31 @@ _MEASURING = threading.local()
 # touching the persistent table until a winner is chosen
 _OVERRIDES: Dict[str, str] = {}
 _RECORDING = threading.local()
+# active net scope for calibrated-assignment lookup (see net_scope): a
+# graph-calibration demotion is a property of one net's COMPOSITION, not of
+# the (shape, pattern) key alone — served globally it would force another
+# net's identical layer dense (ADVICE r4). Scoped entries live in the same
+# cache file under "net=<tag>|<key>".
+_NET_SCOPE: Optional[str] = None
 
 ARMS = ("unroll", "gathered", "gathered_cols", "dense", "fused")
+
+
+def _scoped_key(key: str, tag: Optional[str]) -> str:
+    return f"net={tag}|{key}" if tag else key
+
+
+@contextlib.contextmanager
+def net_scope(tag: Optional[str]):
+    """Serve per-net calibrated arm assignments for ``tag`` (falling back
+    to the global per-(shape, pattern) table) inside the context."""
+    global _NET_SCOPE
+    prev = _NET_SCOPE
+    _NET_SCOPE = tag
+    try:
+        yield
+    finally:
+        _NET_SCOPE = prev
 
 
 def _pattern_sig(aligned) -> Tuple[int, int, int, int]:
@@ -77,7 +100,13 @@ def code_fingerprint() -> str:
     of specific kernel code; serving it after the kernels change silently
     skips re-measurement (the r3->r4 hazard: the committed table's winners
     were timed against the padded-ifmap unroll). The cache file records
-    this fingerprint and is ignored wholesale on mismatch."""
+    this fingerprint and is ignored wholesale on mismatch.
+
+    Env toggles that change kernel BEHAVIOR are folded in too (ADVICE r4):
+    an arm measured under CESCOIN_XBSP_NOPAD=1 is a measurement of
+    different code than the padded default — same hazard class as a source
+    edit. The fingerprint is cached per-process, so flip toggles before
+    first use (they are process-level switches, not per-call knobs)."""
     global _FINGERPRINT
     if _FINGERPRINT is None:
         import hashlib
@@ -90,6 +119,8 @@ def code_fingerprint() -> str:
             if name.endswith(".py"):
                 with open(os.path.join(kdir, name), "rb") as fh:
                     h.update(fh.read())
+        for toggle in ("CESCOIN_XBSP_NOPAD",):
+            h.update(f"{toggle}={os.environ.get(toggle, '')}".encode())
         _FINGERPRINT = h.hexdigest()[:16]
     return _FINGERPRINT
 
@@ -207,6 +238,12 @@ def choose_arm(aligned, policy, x_shape, stride, padding, dilation,
             if rec is not None:
                 rec.append((key, _OVERRIDES[key]))
             return _OVERRIDES[key]
+        if _NET_SCOPE is not None:
+            skey = _scoped_key(key, _NET_SCOPE)
+            if skey in _CACHE:
+                if rec is not None:
+                    rec.append((key, _CACHE[skey]))
+                return _CACHE[skey]
         if key in _CACHE:
             if rec is not None:
                 rec.append((key, _CACHE[key]))
@@ -282,6 +319,7 @@ def calibrate_graph(time_fn: Callable[[], float], *,
                     max_flips: Optional[int] = None,
                     polish: int = 0,
                     cache_path: Optional[str] = None,
+                    net_tag: Optional[str] = None,
                     log=None) -> Dict:
     """Whole-graph validation of the per-layer autotuned arm assignment.
 
@@ -300,13 +338,23 @@ def calibrate_graph(time_fn: Callable[[], float], *,
 
     1. Time the current assignment, recording the (key, arm) decisions.
     2. Time the all-dense assignment (the graph-scope dense floor).
-    3. If the current assignment already beats the floor by ``margin``,
-       keep it. Otherwise greedily re-enable each key's isolated winner —
+    3. If the current assignment is within ``margin`` of the floor (i.e.
+       not more than ``margin`` SLOWER — a tolerance, because whole-net
+       timings carry ~1-2% session noise and a borderline re-derivation
+       from the floor would churn the table without a real win), keep it.
+       Otherwise greedily re-enable each key's isolated winner —
        highest estimated gain first (from the isolated arm times when
        available) — keeping a flip only when the measured whole-graph
        time improves by ``keep_margin``.
     4. Persist the winning per-key arms to the autotune cache, so later
        runs (and the committed table) serve the calibrated assignment.
+       With ``net_tag``, keys whose calibrated arm DIFFERS from the
+       isolated assignment are persisted under a per-net scope
+       ("net=<tag>|<key>", served inside `net_scope(tag)`) instead of
+       overwriting the global per-(shape, pattern) table: a demotion
+       caused by one net's composition must not force another net's
+       identical layer dense (ADVICE r4). Confirmed keys (arm unchanged)
+       stay global.
 
     Returns a report dict with the three timings and the final arms.
     """
@@ -410,7 +458,11 @@ def calibrate_graph(time_fn: Callable[[], float], *,
         report.update(t_final=best, flips=flips, polish_trials=trials,
                       arms=dict(assign))
         with _LOCK:
-            _CACHE.update(assign)
+            for k, arm in assign.items():
+                if net_tag and arm != arms.get(k):
+                    _CACHE[_scoped_key(k, net_tag)] = arm
+                else:
+                    _CACHE[k] = arm
             if path:
                 _save_file(path)
         if log:

@@ -77,6 +77,9 @@ class Solver:
         self.lr_mults = lr_mults
         self.decay_mults = decay_mults
         self.param_masks = None
+        self.pruning_schedule = None
+        self._prune_select = None
+        self._last_mask_sparsity = None
 
     # ------------------------------------------------------------------
     def set_param_masks(self, masks) -> None:
@@ -87,9 +90,69 @@ class Solver:
         magnitude-prune, then fine-tune with the zero pattern frozen. The
         mask (a 0/1 pytree congruent with params; utils.pruning.masks_of)
         is applied inside the jitted step right after the solver update.
+        Masks are a jit ARGUMENT, not a closure: updating their VALUES
+        (the AGP ramp does so every schedule step) costs no recompile —
+        only turning masking on/off rebuilds the step function.
         """
+        had = self.param_masks is not None
+        if masks is not None:
+            # device-resident once: passing host numpy masks to the jitted
+            # step would re-upload the full mask pytree every iteration
+            masks = jax.tree_util.tree_map(jnp.asarray, masks)
         self.param_masks = masks
-        self._step_fn = None  # rebuild with the mask closed over
+        if (masks is not None) != had:
+            self._step_fn = None  # masked-ness changed: rebuild
+
+    # ------------------------------------------------------------------
+    def set_pruning_schedule(self, schedule, select=None) -> None:
+        """Gradual in-training pruning (utils.pruning.PruningSchedule).
+
+        At every ``schedule.freq`` iterations inside [start_iter,
+        end_iter] the target sparsity follows the AGP cubic ramp
+        (utils.pruning.agp_sparsity) and masks are recomputed from the
+        CURRENT weights (utils.pruning.gradual_masks); after end_iter the
+        final mask stays frozen (masked fine-tuning). This is the
+        training-time route to ACCURATE block-sparse models — the r4
+        experiment measured one-shot block pruning collapsing AlexNet to
+        chance, which gradual ramping avoids; see the reference's
+        regularization-pressure lever (`sgd_solver.cpp:144-206`) for the
+        analogous (weaker) capability."""
+        self.pruning_schedule = schedule
+        self._prune_select = select
+        self._last_mask_sparsity = None
+
+    # ------------------------------------------------------------------
+    def _maybe_update_masks(self, log=print) -> None:
+        sched = self.pruning_schedule
+        if sched is None or self.iter < sched.start_iter:
+            return
+        freq = max(1, sched.freq)
+        due = (self.iter - sched.start_iter) % freq == 0
+        # one final recompute at/after end_iter, then frozen
+        past_end = self.iter >= sched.end_iter
+        if past_end and self._last_mask_sparsity == sched.final_sparsity:
+            return
+        if not due and not past_end:
+            return
+        from caffe_escoin_tpu.utils import pruning as _pr
+
+        s = _pr.agp_sparsity(
+            self.iter, start_iter=sched.start_iter,
+            end_iter=sched.end_iter, freq=freq,
+            final_sparsity=sched.final_sparsity,
+            initial_sparsity=sched.initial_sparsity)
+        if s <= 0 or s == self._last_mask_sparsity and not past_end:
+            return
+        masks = _pr.gradual_masks(
+            self.params, s, granularity=sched.granularity,
+            block_shape=sched.block_shape, select=self._prune_select)
+        self.set_param_masks(masks)
+        # apply immediately so the sparsity the log reports is real
+        self.params = jax.tree_util.tree_map(
+            lambda p, m: p * m, self.params, self.param_masks)
+        self._last_mask_sparsity = sched.final_sparsity if past_end else s
+        log(f"Pruning: iteration {self.iter}, target sparsity {s:.4f} "
+            f"({sched.granularity})")
 
     # ------------------------------------------------------------------
     def init(self, input_shapes: Dict[str, tuple]):
@@ -105,8 +168,11 @@ class Solver:
     # ------------------------------------------------------------------
     def _build_step(self):
         net, cfg = self.net, self.cfg
+        with_masks = self.param_masks is not None
+        self._step_has_masks = with_masks
 
-        def step(params, state, net_state, batches, lr, it, rng):
+        def step(params, state, net_state, batches, lr, it, rng,
+                 masks=None):
             """batches: pytree stacked over iter_size on axis 0."""
 
             def loss_of(p, ns, batch, r):
@@ -139,9 +205,9 @@ class Solver:
             new_params, new_state = solvers.update(
                 cfg, params, grads, state, lr, it, lr_mults=self.lr_mults
             )
-            if self.param_masks is not None:
+            if with_masks:
                 new_params = jax.tree_util.tree_map(
-                    lambda p, m: p * m, new_params, self.param_masks
+                    lambda p, m: p * m, new_params, masks
                 )
             return new_params, new_state, new_net_state, loss / cfg.iter_size
 
@@ -162,10 +228,11 @@ class Solver:
     # ------------------------------------------------------------------
     def step(self, data_iter: Iterator[Dict], iters: int,
              log: Callable[[str], None] = print):
-        if self._step_fn is None:
-            self._step_fn = self._build_step()
         start = self.iter
         while self.iter < start + iters and not self._stop:
+            self._maybe_update_masks(log=log)
+            if self._step_fn is None:
+                self._step_fn = self._build_step()
             if (self.test_interval and self.test_net is not None
                     and self.iter % self.test_interval == 0):
                 # TestAll every test_interval (solver.cpp:191-195)
@@ -186,10 +253,14 @@ class Solver:
                 max_iter=self.cfg.max_iter,
             )
             self.rng, sub = jax.random.split(self.rng)
+            step_args = (self.params, self.state, self.net_state, batches,
+                         jnp.float32(lr), jnp.int32(self.iter + 1), sub)
+            if getattr(self, "_step_has_masks", False):
+                # masks ride as a jit argument: AGP ramp updates change
+                # their VALUES every schedule step with zero recompiles
+                step_args = step_args + (self.param_masks,)
             self.params, self.state, self.net_state, loss = self._step_fn(
-                self.params, self.state, self.net_state, batches,
-                jnp.float32(lr), jnp.int32(self.iter + 1), sub,
-            )
+                *step_args)
             self._losses.append(float(loss))
             if len(self._losses) > self.average_loss:
                 self._losses.pop(0)

@@ -44,7 +44,11 @@ class SolverConfig:
     base_lr: float = 0.01
     momentum: float = 0.9
     weight_decay: float = 0.0
-    regularization_type: str = "L2"  # or "L1"
+    regularization_type: str = "L2"  # "L1" | "group_lasso" (block-L1)
+    # block shape for group_lasso regularization (matches the executor's
+    # BSC block granularity so the pressure shrinks whole MXU-skippable
+    # blocks — the SSL/group-lasso route to structured sparsity)
+    group_block: tuple = (128, 128)
     delta: float = 1e-8  # eps for adaptive solvers
     rms_decay: float = 0.99
     adam_beta1: float = 0.9
@@ -58,6 +62,34 @@ class SolverConfig:
     stepvalues: tuple = ()
     power: float = 1.0
     max_iter: int = 100000
+
+
+def group_lasso_grad(w, block, eps: float = 1e-12):
+    """d/dw of sum_b ||w_b||_2 over (bm, bk) blocks of the weight's GEMM
+    view: w / ||block(w)||, the group-lasso (SSL-style) pressure that
+    shrinks whole blocks toward zero — the block-granular analogue of the
+    reference's L1 `regularization_type` pruning lever
+    (`caffe.proto:307-308`, `sgd_solver.cpp:144-206`). Blocks match the
+    executor's BSC granularity so regularization-driven sparsity is
+    exactly the sparsity the MXU kernels can skip. Conv weights [kh, kw,
+    ci, co] block their per-offset (ci, co) planes (the direct-conv BSC
+    structure); 2-D fc weights block directly; other ranks fall back to
+    plain L2 direction (w)."""
+    if w.ndim == 4:
+        kh, kw, ci, co = w.shape
+        w2 = w.reshape(kh * kw, ci, co)
+    elif w.ndim == 2:
+        w2 = w.reshape((1,) + w.shape)
+    else:
+        return w
+    bm, bk = block
+    R = -(-w2.shape[1] // bm) * bm
+    C = -(-w2.shape[2] // bk) * bk
+    wp = jnp.pad(w2, ((0, 0), (0, R - w2.shape[1]), (0, C - w2.shape[2])))
+    b = wp.reshape(wp.shape[0], R // bm, bm, C // bk, bk)
+    norms = jnp.sqrt((b * b).sum(axis=(2, 4), keepdims=True) + eps)
+    g = (b / norms).reshape(wp.shape)[:, : w2.shape[1], : w2.shape[2]]
+    return g.reshape(w.shape)
 
 
 def regularize(cfg: SolverConfig, params: Pytree, grads: Pytree,
@@ -77,6 +109,8 @@ def regularize(cfg: SolverConfig, params: Pytree, grads: Pytree,
         decay = cfg.weight_decay * dm
         if kind == "L1":
             return g + decay * jnp.sign(w)
+        if kind == "group_lasso":
+            return g + decay * group_lasso_grad(w, cfg.group_block)
         return g + decay * w
 
     if reg_overrides or decay_mults is not None:

