@@ -459,9 +459,23 @@ def run_e2e(args):
     if args.fuse:
         net_d, params_d = fuse_inference(net_d, params, state=state)
         net_db, params_db = fuse_inference(net_db, params, state=state)
+        net_s.blob_shapes = dict(net_d.blob_shapes)  # same graph/shapes
         net_s, pruned_s = fuse_inference(net_s, pruned, state=state)
         n_before = len(builder())
         log(f"fusion: {n_before} -> {len(net_s.layers)} layers")
+        if args.pack:
+            # W-pair packed layout for narrow-channel towers (nn/fuse.py
+            # pack_narrow_chains; ops/wpack.py): a framework graph
+            # transform applied to the SPARSE deployment arm. The dense
+            # baselines stay stock XLA convs — the honest external
+            # baseline is what a user gets from XLA, not this framework's
+            # layout pass run densely; --no-pack captures the
+            # decomposition (sparsity-only vs sparsity+layout).
+            from caffe_escoin_tpu.nn.fuse import pack_narrow_chains
+            net_s = pack_narrow_chains(net_s)
+            if getattr(net_s, "packed_blobs", None):
+                log(f"packed {len(net_s.packed_blobs)} blobs "
+                    f"(W-pair layout): {sorted(net_s.packed_blobs)[:6]}...")
     else:
         params_d, params_db, pruned_s = params, params, pruned
 
@@ -566,6 +580,7 @@ def run_e2e(args):
         "t_sparse_ms": round(ts * 1e3, 3),
         "fused": bool(args.fuse),
         "autotune": bool(args.autotune),
+        "packed": bool(args.pack and args.fuse),
     }
     if args.xbsp_arm != "auto":
         # diagnostic rows (forced executor arm) must be distinguishable
@@ -696,6 +711,9 @@ def run_batch_curve(args):
             pruned[n] = dict(pruned[n], w=jnp.asarray(
                 prune_conv_weight(w, args.sparsity, (128, 128))))
         fnet, fparams = fuse_inference(net, pruned, state=net.state0)
+        if args.pack:
+            from caffe_escoin_tpu.nn.fuse import pack_narrow_chains
+            fnet = pack_narrow_chains(fnet)
         fwd = fnet.inference_fn(fnet.weight_align(fparams))
         _rx = np.random.default_rng(0)
         xvars = [jnp.asarray(_rx.standard_normal(
@@ -757,6 +775,10 @@ def main():
                     help="with --e2e: apply inference graph fusion "
                          "(BN/Scale fold + ReLU/residual epilogues) to all "
                          "arms (default on; --no-fuse for the raw graph)")
+    ap.add_argument("--pack", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="W-pair packed layout for narrow-channel towers "
+                    "(sparse arm; nn/fuse.pack_narrow_chains)")
     ap.add_argument("--autotune", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="measured per-shape executor selection with a "

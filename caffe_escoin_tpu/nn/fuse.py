@@ -241,3 +241,180 @@ def fuse_inference(net: Net, params: Dict[str, Any],
     if hasattr(net, "blob_shapes"):
         fused.blob_shapes = dict(net.blob_shapes)
     return fused, new_params
+
+
+def _conv_geom(s: LayerSpec):
+    """(kernel_w, stride_w, dilation_w, groups) of a 2-D conv spec."""
+    def wdim(v, d):
+        v = s.params.get(v, d)
+        if isinstance(v, (tuple, list)):
+            return int(v[-1])
+        return int(v)
+    return (wdim("kernel", 3), wdim("stride", 1), wdim("dilation", 1),
+            int(s.params.get("group", 1)))
+
+
+def pack_narrow_chains(net: Net, *, lanes: int = 128) -> Net:
+    """W-pair packed-layout pass (ops/wpack.py): route narrow-channel
+    towers through full-lane packed execution.
+
+    TPU tiled layouts physically pad the channel (lane) dimension to 128,
+    so every HBM byte of a C<128 activation costs 128/C real bytes —
+    measured r5: the entire ResNet-50 56x56/C=64 tower sits at exactly 2x
+    its logical-traffic bound regardless of executor (logs/exp_k3_r5).
+    This pass finds maximal subgraphs where r adjacent W-pixels can ride
+    the unused lanes, with pack/unpack folded into the boundary layers as
+    pure conv/pool reparametrizations so no retile pass ever materializes:
+
+    * seeds: interior 4-D blobs with pack_factor(C, W) > 1;
+    * producers: convs emit packed via `repack_weight` (any stride), MAX/
+      AVE pools via phase-split windows (`pool2d_packed_out`);
+    * consumers: convs consume packed when the packed stride
+      sw*r_out/r_in is integral — strided stage-boundary convs terminate
+      chains naturally (e.g. a 1x1/s2 consumer of an r=2 blob);
+    * residual (fuse_add) second-bottoms must match the conv's output
+      layout, which grows the packed set across whole residual stages;
+    * blobs whose layout cannot be closed (pooling/concat/loss consumers,
+      final tops) are dropped, and the constraint set re-solved to a
+      fixpoint.
+
+    Runs AFTER `fuse_inference` (it keys on fuse_add residual bottoms).
+    Params are untouched — layers repack their logical weights at
+    align/apply time — so checkpoints and exports stay in the public
+    layout. Measured effect (chip, b32): 56x56 64->64 k3 77us -> 38us;
+    the packed entry 1x1 112 -> 101us (logs/exp_wpack_r5.jsonl).
+
+    No reference counterpart: GPU gathers are per-lane, so the reference
+    never needed a layout pass; the closest analogue is its model-load
+    weight reorganization (`base_conv_layer.cpp:46-273`)."""
+    from caffe_escoin_tpu.ops import wpack as _wpack
+
+    specs = list(net.specs)
+    shapes: Dict[str, Tuple[int, ...]] = dict(
+        getattr(net, "blob_shapes", None) or {})
+    if not shapes:
+        return net  # no shape information: nothing to do
+    finals = _final_tops(specs)
+    producer: Dict[str, int] = {}
+    consumers: Dict[str, list] = {}
+    for i, s in enumerate(specs):
+        for b in s.bottoms:
+            consumers.setdefault(b, []).append(i)
+        for t in s.tops:
+            producer[t] = i
+
+    import math
+
+    def markable(b, r):
+        shp = shapes.get(b)
+        return (b in producer and b not in finals and shp is not None
+                and len(shp) == 4 and shp[2] % r == 0
+                and shp[3] * r <= 512)  # keep packed lanes a sane width
+
+    packed: Dict[str, int] = {}
+    for b, shp in shapes.items():
+        if b in producer and b not in finals and len(shp) == 4:
+            r = _wpack.pack_factor(shp[3], shp[2], lanes=lanes)
+            if r > 1:
+                packed[b] = r
+
+    dead: set = set()
+
+    def check(b, r):
+        """(ok, [(blob, required_r), ...]) for blob b packed at r."""
+        needs = []
+        if not markable(b, r):
+            return False, needs
+        pi = producer[b]
+        ps = specs[pi]
+        if ps.type in CONV_TYPES:
+            if len(shapes.get(ps.bottoms[0], ())) != 4:
+                return False, needs
+            kw, sw, dil, g = _conv_geom(ps)
+            if dil != 1 or g != 1:
+                return False, needs
+            r_in = packed.get(ps.bottoms[0], 1)
+            if (sw * r) % r_in != 0:
+                return False, needs
+            if len(ps.bottoms) > 1:  # fuse_add residual rides output layout
+                if not ps.params.get("fuse_add"):
+                    return False, needs
+                needs.append((ps.bottoms[1], r))
+        elif ps.type == "Pooling":
+            p = ps.params
+            if (p.get("global_pooling") or p.get("mode", "max")
+                    not in ("max", "avg")):
+                return False, needs
+            if packed.get(ps.bottoms[0], 1) != 1:
+                return False, needs  # packed-input pooling unsupported
+        else:
+            return False, needs
+        for ci in consumers.get(b, []):
+            cs = specs[ci]
+            if cs.type not in CONV_TYPES:
+                return False, needs
+            if len(shapes.get(cs.bottoms[0], ())) != 4:
+                return False, needs
+            kw, sw, dil, g = _conv_geom(cs)
+            if dil != 1 or g != 1:
+                return False, needs
+            if cs.bottoms[0] == b:
+                r_out = packed.get(cs.tops[0], 1)
+                if (sw * r_out) % r != 0:
+                    need_r = r // math.gcd(sw, r)
+                    needs.append((cs.tops[0], need_r))
+            if len(cs.bottoms) > 1 and cs.bottoms[1] == b:
+                if not cs.params.get("fuse_add"):
+                    return False, needs
+                needs.append((cs.tops[0], r))
+        return True, needs
+
+    stable = False
+    while not stable:
+        stable = True
+        for b in sorted(packed):
+            r = packed[b]
+            ok, needs = check(b, r)
+            if ok:
+                for nb, nr in needs:
+                    cur = packed.get(nb)
+                    if cur == nr:
+                        continue
+                    if nb in dead or cur is not None or not markable(nb, nr):
+                        ok = False
+                        break
+                    packed[nb] = nr
+                    stable = False
+            if not ok:
+                del packed[b]
+                dead.add(b)
+                stable = False
+
+    if not packed:
+        return net
+
+    new_specs = []
+    for s in specs:
+        if s.type in CONV_TYPES:
+            r_in = packed.get(s.bottoms[0], 1)
+            r_out = packed.get(s.tops[0], 1)
+            if r_in > 1 or r_out > 1:
+                p = dict(s.params)
+                p["pack_in"], p["pack_out"] = r_in, r_out
+                p["pack_w"] = int(shapes[s.bottoms[0]][2])
+                s = dataclasses.replace(s, params=p)
+        elif s.type == "Pooling":
+            r_out = packed.get(s.tops[0], 1)
+            if r_out > 1:
+                s = dataclasses.replace(
+                    s, params=dict(s.params, pack_out=r_out))
+        new_specs.append(s)
+
+    out = Net(new_specs, policy=net.policy, phase=net.phase)
+    out.state0 = getattr(net, "state0", {})
+    out.blob_shapes = {
+        b: ((shp[0], shp[1], shp[2] // packed[b], shp[3] * packed[b])
+            if b in packed and len(shp) == 4 else shp)
+        for b, shp in shapes.items()}
+    out.packed_blobs = dict(packed)
+    return out

@@ -79,6 +79,7 @@ class ConvolutionLayer(Layer):
     def _conf(self, in_shape):
         p = self.p
         nsp = len(in_shape) - 2
+        r_in = p.get("pack_in", 1)
         return dict(
             nsp=nsp,
             kernel=_ntuple(p.get("kernel", 3), nsp),
@@ -88,8 +89,13 @@ class ConvolutionLayer(Layer):
             groups=p.get("group", 1),
             cout=p["num_output"],
             bias=p.get("bias_term", True),
-            cin=in_shape[-1],
+            cin=in_shape[-1] // r_in,  # logical channels (W-pack aware)
         )
+
+    def _pack(self):
+        """(r_in, r_out) W-pack factors set by nn/fuse.pack_narrow_chains
+        (ops/wpack.py layout; (1, 1) = ordinary unpacked execution)."""
+        return self.p.get("pack_in", 1), self.p.get("pack_out", 1)
 
     def init_params(self, rng, in_shapes):
         c = self._conf(in_shapes[0])
@@ -109,6 +115,25 @@ class ConvolutionLayer(Layer):
             return params
         if params["w"].ndim != 4:
             return params  # N-D conv: dense path only (as in the reference)
+        r_in, r_out = self._pack()
+        if r_in > 1 or r_out > 1:
+            # sparse-compile the W-PACKED reparametrization (ops/wpack.py):
+            # the aligned BSC pattern is the packed weight's own zero
+            # structure, so the XBSP executors run the full-lane problem
+            # natively (measured 2x on the 56x56 c64 k3 family)
+            from caffe_escoin_tpu.ops import wpack as _wpack
+
+            p = self.p
+            kw = _ntuple(p.get("kernel", 3), 2)[1]
+            sw = _ntuple(p.get("stride", 1), 2)[1]
+            pw = _ntuple(p.get("pad", 0), 2)[1]
+            w = np.asarray(jax.device_get(params["w"]))
+            wp, _, _ = _wpack.repack_weight(
+                w, r_in, r_out, sw, pw, int(p["pack_w"]))
+            b = params.get("b")
+            if b is not None:
+                b = np.tile(np.asarray(jax.device_get(b)), r_out)
+            return weight_align(wp, b, groups=1, policy=self.policy)
         return weight_align(
             params["w"], params.get("b"), groups=self.p.get("group", 1),
             policy=self.policy,
@@ -134,6 +159,7 @@ class ConvolutionLayer(Layer):
                 else l,
                 params,
             )
+        r_in, r_out = self._pack()
         if c["nsp"] != 2:
             out = conv_ops.convnd_dense(
                 x, params["w"], params.get("b"), stride=c["stride"],
@@ -142,6 +168,36 @@ class ConvolutionLayer(Layer):
             )
             if residual is not None:
                 raise ValueError("fuse_add is 2-D only")
+        elif r_in > 1 or r_out > 1:
+            # W-packed execution (ops/wpack.py): x is [N, H, W/r_in,
+            # r_in*Cin]; the conv runs in the packed domain with the
+            # repacked kernel geometry; output is [N, Ho, Wo/r_out,
+            # r_out*Cout]. Residual (fuse_add) arrives in the SAME packed
+            # layout by pass construction.
+            from caffe_escoin_tpu.ops import wpack as _wpack
+
+            (kh, kw), (sh, sw) = c["kernel"], c["stride"]
+            (ph, pw) = c["pad"]
+            w_in = x.shape[2] * r_in
+            kw_p, (pl, _), s_p, _, _ = _wpack.repack_geometry(
+                kw, r_in, r_out, sw, pw, w_in)
+            if isinstance(params, AlignedConvWeight):
+                out = conv_ops.conv2d(
+                    x, params, stride=(sh, s_p), padding=(ph, pl),
+                    dilation=(1, 1), relu=fuse_relu, policy=self.policy,
+                    residual=residual,
+                )
+            else:
+                wp, _, _ = _wpack.repack_weight(
+                    params["w"], r_in, r_out, sw, pw, w_in)
+                b = params.get("b")
+                if b is not None:
+                    b = jnp.tile(b, r_out)
+                out = conv_ops.conv2d_dense(
+                    x, wp, b, stride=(sh, s_p), padding=(ph, pl),
+                    dilation=(1, 1), groups=1, relu=fuse_relu,
+                    residual=residual,
+                )
         elif isinstance(params, AlignedConvWeight):
             out = conv_ops.conv2d(
                 x, params, stride=c["stride"], padding=c["pad"],
@@ -269,6 +325,14 @@ class PoolingLayer(Layer):
         if p.get("global_pooling", False):
             return [pool_ops.pool2d(x, (1, 1), mode=p.get("mode", "avg"),
                                     global_pool=True)]
+        if p.get("pack_out", 1) > 1:
+            # emit the W-pair packed layout (ops/wpack.py) directly from
+            # the pooling windows — set by nn/fuse.pack_narrow_chains
+            return [pool_ops.pool2d_packed_out(
+                x, _pair(p.get("kernel", 2)),
+                stride=_pair(p.get("stride", p.get("kernel", 2))),
+                padding=_pair(p.get("pad", 0)), mode=p.get("mode", "max"),
+                ceil_mode=p.get("ceil_mode", True), r=p["pack_out"])]
         return [
             pool_ops.pool2d(
                 x,

@@ -110,6 +110,51 @@ def pool2d(x, kernel, *, stride=None, padding=(0, 0), mode="max",
     return out[:, :ho, :wo, :]
 
 
+def pool2d_packed_out(x, kernel, *, stride=None, padding=(0, 0),
+                      mode="max", ceil_mode=True, r: int = 2):
+    """Pooling that EMITS the W-pair packed layout (ops/wpack.py):
+    [N, H, W, C] -> [N, Ho, Wo//r, r*C] with out_p[..., v, j*C+c] =
+    pool_out[..., r*v + j, c].
+
+    Output phase j's windows start at W positions (r*v + j)*sw - pw, i.e.
+    phase j is an ordinary pooling of x at W offset j*sw with W stride
+    r*sw; the r phase results concatenate on the lane axis — no retile
+    pass ever materializes, which is the whole point (packing via reshape
+    of the unpacked pool output would be a physical tiled-layout copy).
+    Max/avg only (the packed towers' pools; stochastic pooling stays
+    unpacked). Used by PoolingLayer when the pack pass marks its top."""
+    n, h, w, c = x.shape
+    kh, kw = kernel
+    stride = stride or kernel
+    sh, sw = stride
+    ph, pw = padding
+    ho = _pooled_size(h, kh, sh, ph, ceil_mode)
+    wo = _pooled_size(w, kw, sw, pw, ceil_mode)
+    assert wo % r == 0, f"pooled width {wo} not divisible by pack {r}"
+    need_h = (ho - 1) * sh + kh
+    need_w = (wo - 1) * sw + kw
+    pad_h2 = max(0, need_h - h - ph)
+    pad_w2 = max(0, need_w - w - pw)
+    if mode == "max":
+        init, op, post = -jnp.inf, lax.max, None
+    elif mode == "avg":
+        init, op, post = 0.0, lax.add, float(kh * kw)
+    else:
+        raise ValueError(f"pool2d_packed_out: unsupported mode {mode!r}")
+    xp = jnp.pad(x, ((0, 0), (ph, pad_h2), (pw, pad_w2), (0, 0)),
+                 constant_values=init)
+    phases = []
+    for j in range(r):
+        out_j = lax.reduce_window(
+            xp[:, :, j * sw:, :], init, op,
+            (1, kh, kw, 1), (1, sh, r * sw, 1), "VALID")
+        phases.append(out_j[:, :ho, : wo // r, :])
+    out = jnp.concatenate(phases, axis=-1)
+    if post is not None:
+        out = out / post
+    return out
+
+
 def spp(x, pyramid_height: int, *, mode="max"):
     """Spatial pyramid pooling (spp_layer.cpp): levels 0..h-1 pool to
     (2^l x 2^l) bins each, flattened+concatenated -> [N, C * sum 4^l]."""

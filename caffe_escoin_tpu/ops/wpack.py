@@ -93,6 +93,80 @@ def packed_weight(w_hwio: np.ndarray, r: int, pad_w: int
     return wp, (-du_min, du_max)
 
 
+def repack_weight(w_hwio: np.ndarray, r_in: int, r_out: int,
+                  stride_w: int, pad_w: int, w_in: int
+                  ) -> Tuple[np.ndarray, Tuple[int, int], int]:
+    """General W-packed reparametrization: input packed ``r_in``, output
+    packed ``r_out`` (either may be 1 = unpacked). Covers packed_weight
+    (r_in == r_out, sw 1), entry_weight (r_in 1) and the strided boundary
+    consumers (e.g. r_in 2 -> r_out 1 at stride 2) in one formula:
+
+        out[w = r_out*v + j] = sum_dx x[w_in = sw*(r_out*v + j) + dx - pw]
+        w_in = r_in*u + i  =>  t = sw*j + dx - pw ;  i = t mod r_in ;
+                               du = t // r_in  (floor)
+
+    valid iff the packed stride  s' = sw*r_out / r_in  is an integer (the
+    stride-1 unpack case sw*r_out < r_in needs the lhs-dilated
+    `exit_weight` instead). Returns (wp [kh, kw_p, r_in*ci, r_out*co],
+    (pad_left, pad_right), stride_packed); the padding is SYMMETRIZED by
+    growing the kernel with zero taps on the short side (zero taps are
+    free in the XBSP executors — dead blocks are skipped at trace time —
+    and near-free in a dense conv).
+
+    Polymorphic over numpy and jax arrays (jax path supports traced /
+    abstract weights, e.g. under `jax.eval_shape` for net shape
+    inference)."""
+    kh, kw, ci, co = w_hwio.shape
+    geo = repack_geometry(kw, r_in, r_out, stride_w, pad_w, w_in)
+    kw_p, (pl, pr), s_p, du_min, front = geo
+    is_np = isinstance(w_hwio, np.ndarray)
+    if is_np:
+        xp = np
+    else:
+        import jax.numpy as xp
+    wp = xp.zeros((kh, kw_p, r_in * ci, r_out * co), w_hwio.dtype)
+    for j in range(r_out):
+        for dx in range(kw):
+            t = stride_w * j + dx - pad_w
+            i, du = t % r_in, t // r_in
+            sl = (slice(None), du - du_min + front,
+                  slice(i * ci, (i + 1) * ci), slice(j * co, (j + 1) * co))
+            if is_np:
+                wp[sl] += w_hwio[:, dx]
+            else:
+                wp = wp.at[sl].add(w_hwio[:, dx])
+    return wp, (pl, pr), s_p
+
+
+def repack_geometry(kw: int, r_in: int, r_out: int, stride_w: int,
+                    pad_w: int, w_in: int):
+    """Tap-grid geometry of `repack_weight` without building the weight:
+    (kw_p, (pad_l, pad_r), stride_packed, du_min, front_zero_taps)."""
+    assert (stride_w * r_out) % r_in == 0, (
+        f"packed stride sw*r_out/r_in = {stride_w}*{r_out}/{r_in} "
+        "not integral (use exit_weight)")
+    s_p = stride_w * r_out // r_in
+    dus = [(stride_w * j + dx - pad_w) // r_in
+           for j in range(r_out) for dx in range(kw)]
+    du_min, du_max = min(dus), max(dus)
+    kw_p = du_max - du_min + 1
+    pl = -du_min
+    # right padding from the output-width equation:
+    #   (Wp_in + pl + pr - kw_p) // s_p + 1 == Wo // r_out
+    wo = (w_in + 2 * pad_w - kw) // stride_w + 1
+    pr = (wo // r_out - 1) * s_p + kw_p - w_in // r_in - pl
+    front = 0
+    if pl != pr:  # symmetrize with zero taps on the short side
+        d = abs(pl - pr)
+        kw_p += d
+        if pl < pr:
+            front = d
+            pl = pr
+        else:
+            pr = pl
+    return kw_p, (pl, pr), s_p, du_min, front
+
+
 def packed_pad_right(w_in: int, kw: int, pad_w: int, r: int) -> int:
     """Right W padding (in packed pixels) making the packed conv emit
     exactly Wo/r pixels. Equals the `packed_weight` du_max for same-size

@@ -76,6 +76,35 @@ def test_exit_weight_exact(kw, pad_w, r):
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("r_in,r_out,sw,kw,pad_w", [
+    (2, 2, 1, 3, 1), (2, 2, 1, 1, 0), (4, 4, 1, 3, 1),
+    (1, 2, 1, 1, 0), (1, 2, 2, 7, 3), (1, 4, 1, 3, 1),
+    (2, 1, 2, 1, 0), (2, 1, 2, 3, 1), (4, 2, 2, 1, 0),
+    (2, 4, 1, 1, 0), (2, 2, 1, 5, 2),
+])
+def test_repack_weight_general(r_in, r_out, sw, kw, pad_w):
+    rng = np.random.default_rng(7)
+    n, h, w, c, co = 2, 4, 16, 4, 3
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    wt = rng.standard_normal((1, kw, c, co)).astype(np.float32)
+    wo = (w + 2 * pad_w - kw) // sw + 1
+    if wo % r_out or w % r_in:
+        pytest.skip("width not divisible")
+    want = ref_conv(x, wt, stride=(1, sw), padding=((0, 0), (pad_w, pad_w)))
+    wp, (pl, pr), s_p = wpack.repack_weight(wt, r_in, r_out, sw, pad_w, w)
+    assert pl == pr  # symmetrized
+    xp = jnp.asarray(wpack.pack_nhwc(x, r_in))
+    got_p = ref_conv(xp, wp, stride=(1, s_p), padding=((0, 0), (pl, pr)))
+    got = wpack.unpack_nhwc(np.asarray(got_p), r_out)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_repack_rejects_fractional_stride():
+    wt = np.zeros((1, 1, 4, 3), np.float32)
+    with pytest.raises(AssertionError):
+        wpack.repack_weight(wt, 2, 1, 1, 0, 16)
+
+
 def test_pack_factor():
     assert wpack.pack_factor(64, 56) == 2
     assert wpack.pack_factor(32, 56) == 4
