@@ -243,6 +243,17 @@ def fuse_inference(net: Net, params: Dict[str, Any],
     return fused, new_params
 
 
+def _pool_geom(s: LayerSpec):
+    """(kernel_w, stride_w) of a Pooling spec (Caffe defaults)."""
+    def wdim(v, d):
+        v = s.params.get(v, d)
+        if isinstance(v, (tuple, list)):
+            return int(v[-1])
+        return int(v)
+    k = wdim("kernel", 2)
+    return k, wdim("stride", k)
+
+
 def _conv_geom(s: LayerSpec):
     """(kernel_w, stride_w, dilation_w, groups) of a 2-D conv spec."""
     def wdim(v, d):
@@ -345,28 +356,48 @@ def pack_narrow_chains(net: Net, *, lanes: int = 128) -> Net:
             if (p.get("global_pooling") or p.get("mode", "max")
                     not in ("max", "avg")):
                 return False, needs
-            if packed.get(ps.bottoms[0], 1) != 1:
-                return False, needs  # packed-input pooling unsupported
+            _, sw = _pool_geom(ps)
+            r_in = packed.get(ps.bottoms[0], 1)
+            if (sw * r) % r_in != 0:
+                return False, needs
+        elif ps.type == "LRN":
+            # layout-transparent per (pixel, channel-window): packed
+            # execution via lane-masked windows (ops/norm.py groups=r)
+            needs.append((ps.bottoms[0], r))
         else:
             return False, needs
         for ci in consumers.get(b, []):
             cs = specs[ci]
-            if cs.type not in CONV_TYPES:
-                return False, needs
-            if len(shapes.get(cs.bottoms[0], ())) != 4:
-                return False, needs
-            kw, sw, dil, g = _conv_geom(cs)
-            if dil != 1 or g != 1:
-                return False, needs
-            if cs.bottoms[0] == b:
+            if cs.type in CONV_TYPES:
+                if len(shapes.get(cs.bottoms[0], ())) != 4:
+                    return False, needs
+                kw, sw, dil, g = _conv_geom(cs)
+                if dil != 1 or g != 1:
+                    return False, needs
+                if cs.bottoms[0] == b:
+                    r_out = packed.get(cs.tops[0], 1)
+                    if (sw * r_out) % r != 0:
+                        need_r = r // math.gcd(sw, r)
+                        needs.append((cs.tops[0], need_r))
+                if len(cs.bottoms) > 1 and cs.bottoms[1] == b:
+                    if not cs.params.get("fuse_add"):
+                        return False, needs
+                    needs.append((cs.tops[0], r))
+            elif cs.type == "Pooling":
+                p = cs.params
+                if (p.get("global_pooling") or p.get("mode", "max")
+                        not in ("max", "avg")):
+                    return False, needs
+                _, sw = _pool_geom(cs)
                 r_out = packed.get(cs.tops[0], 1)
                 if (sw * r_out) % r != 0:
+                    # a packed-output pool needs its own top markable
                     need_r = r // math.gcd(sw, r)
                     needs.append((cs.tops[0], need_r))
-            if len(cs.bottoms) > 1 and cs.bottoms[1] == b:
-                if not cs.params.get("fuse_add"):
-                    return False, needs
+            elif cs.type == "LRN":
                 needs.append((cs.tops[0], r))
+            else:
+                return False, needs
         return True, needs
 
     stable = False
@@ -404,10 +435,17 @@ def pack_narrow_chains(net: Net, *, lanes: int = 128) -> Net:
                 p["pack_w"] = int(shapes[s.bottoms[0]][2])
                 s = dataclasses.replace(s, params=p)
         elif s.type == "Pooling":
+            r_in = packed.get(s.bottoms[0], 1)
             r_out = packed.get(s.tops[0], 1)
-            if r_out > 1:
+            if r_in > 1 or r_out > 1:
                 s = dataclasses.replace(
-                    s, params=dict(s.params, pack_out=r_out))
+                    s, params=dict(s.params, pack_in=r_in,
+                                   pack_out=r_out))
+        elif s.type == "LRN":
+            r_in = packed.get(s.bottoms[0], 1)
+            if r_in > 1:
+                s = dataclasses.replace(
+                    s, params=dict(s.params, pack_in=r_in))
         new_specs.append(s)
 
     out = Net(new_specs, policy=net.policy, phase=net.phase)

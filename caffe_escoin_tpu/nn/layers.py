@@ -325,14 +325,16 @@ class PoolingLayer(Layer):
         if p.get("global_pooling", False):
             return [pool_ops.pool2d(x, (1, 1), mode=p.get("mode", "avg"),
                                     global_pool=True)]
-        if p.get("pack_out", 1) > 1:
-            # emit the W-pair packed layout (ops/wpack.py) directly from
-            # the pooling windows — set by nn/fuse.pack_narrow_chains
-            return [pool_ops.pool2d_packed_out(
+        if p.get("pack_out", 1) > 1 or p.get("pack_in", 1) > 1:
+            # W-pair packed layout in/out (ops/wpack.py; set by
+            # nn/fuse.pack_narrow_chains): packed chains flow THROUGH the
+            # pool instead of dying at it
+            return [pool_ops.pool2d_packed(
                 x, _pair(p.get("kernel", 2)),
                 stride=_pair(p.get("stride", p.get("kernel", 2))),
                 padding=_pair(p.get("pad", 0)), mode=p.get("mode", "max"),
-                ceil_mode=p.get("ceil_mode", True), r=p["pack_out"])]
+                ceil_mode=p.get("ceil_mode", True),
+                r_in=p.get("pack_in", 1), r_out=p.get("pack_out", 1))]
         return [
             pool_ops.pool2d(
                 x,
@@ -497,6 +499,9 @@ class LRNLayer(Layer):
             alpha=self.p.get("alpha", 1e-4),
             beta=self.p.get("beta", 0.75),
             k=self.p.get("k", 1.0),
+            # W-pair packed layout: normalize each pixel-phase's logical
+            # channel block independently (nn/fuse.pack_narrow_chains)
+            groups=self.p.get("pack_in", 1),
         )]
 
 

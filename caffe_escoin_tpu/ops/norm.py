@@ -12,7 +12,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def lrn_across_channels(x, *, local_size=5, alpha=1e-4, beta=0.75, k=1.0):
+def lrn_across_channels(x, *, local_size=5, alpha=1e-4, beta=0.75, k=1.0,
+                        groups: int = 1):
     """Local response normalization across channels (NHWC last axis).
 
     y = x / (k + alpha/n * sum_{c in window} x_c^2)^beta — matches Caffe's
@@ -26,16 +27,38 @@ def lrn_across_channels(x, *, local_size=5, alpha=1e-4, beta=0.75, k=1.0):
     dimension; (b) for Caffe's default beta=0.75, s^-0.75 = r*sqrt(r) with
     r = rsqrt(s) — three cheap VPU ops instead of the exp/log `power`
     lowering. Division becomes a multiply.
-    """
+
+    ``groups=r`` runs the normalization over r INDEPENDENT logical
+    channel blocks sharing the lane axis — the W-pair packed layout
+    (ops/wpack.py), where lanes carry (pixel-phase, channel) and the LRN
+    window must not cross phases. Implemented with constant lane masks on
+    the shifted slices (the masks fuse into the elementwise chain; no
+    extra pass, no lane reshuffle)."""
     half = local_size // 2
     xf = x.astype(jnp.float32)
     sq = xf * xf
     padded = jnp.pad(
         sq, ((0, 0),) * (x.ndim - 1) + ((half, local_size - 1 - half),))
     c = x.shape[-1]
-    window = padded[..., :c]
+    cg = c // groups
+
+    def mask_for(shift_i):
+        # lane l holds (group l//cg, channel l%cg); the window term at
+        # offset d = i - half reads logical channel (l%cg)+d, valid only
+        # inside the group
+        import numpy as np
+        d = shift_i - half
+        lane_c = np.arange(c) % cg
+        return jnp.asarray(((lane_c + d >= 0) & (lane_c + d < cg))
+                           .astype(np.float32))
+
+    window = padded[..., :c] if groups == 1 else \
+        padded[..., :c] * mask_for(0)
     for i in range(1, local_size):
-        window = window + padded[..., i:i + c]
+        term = padded[..., i:i + c]
+        if groups > 1:
+            term = term * mask_for(i)
+        window = window + term
     s = k + (alpha / local_size) * window
     if beta == 0.75:
         r = lax.rsqrt(s)

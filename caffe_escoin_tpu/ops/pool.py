@@ -155,6 +155,77 @@ def pool2d_packed_out(x, kernel, *, stride=None, padding=(0, 0),
     return out
 
 
+def pool2d_packed(x, kernel, *, stride=None, padding=(0, 0), mode="max",
+                  ceil_mode=True, r_in: int = 1, r_out: int = 1):
+    """Pooling between W-pair packed layouts (ops/wpack.py):
+    [N, H, W/r_in, r_in*C] -> [N, Ho, Wo/r_out, r_out*C].
+
+    Same tap algebra as `repack_weight`: output phase j's tap dx reads
+    packed pixel offset du = floor((sw*j + dx - pw)/r_in), lane block
+    i = (sw*j + dx - pw) mod r_in; valid iff the packed W stride
+    s' = sw*r_out/r_in is integral. The H dimension pools normally
+    (reduce_window per lane), then each output phase reduces its tap set
+    of (W-sliced, lane-block-sliced) views and the phases concatenate on
+    lanes. This is what lets packed chains flow THROUGH pools (VGG's
+    2x2/s2 between packed conv stacks; GoogLeNet's stem 3x3/s2
+    terminator with r_out=1) instead of dying at them."""
+    if r_in == 1 and r_out > 1:
+        return pool2d_packed_out(x, kernel, stride=stride, padding=padding,
+                                 mode=mode, ceil_mode=ceil_mode, r=r_out)
+    n, h, wp, cc = x.shape
+    kh, kw = kernel
+    stride = stride or kernel
+    sh, sw = stride
+    ph, pw = padding
+    assert (sw * r_out) % r_in == 0, "packed pool stride not integral"
+    s_p = sw * r_out // r_in
+    c = cc // r_in
+    w_log = wp * r_in
+    ho = _pooled_size(h, kh, sh, ph, ceil_mode)
+    wo = _pooled_size(w_log, kw, sw, pw, ceil_mode)
+    assert wo % r_out == 0, f"pooled width {wo} not divisible by {r_out}"
+    if mode == "max":
+        init, op, post = -jnp.inf, jnp.maximum, None
+    elif mode == "avg":
+        init, op, post = 0.0, jnp.add, float(kh * kw)
+    else:
+        raise ValueError(f"pool2d_packed: unsupported mode {mode!r}")
+    # H pooling (per lane, ordinary windows)
+    need_h = (ho - 1) * sh + kh
+    pad_h2 = max(0, need_h - h - ph)
+    xh = jnp.pad(x, ((0, 0), (ph, pad_h2), (0, 0), (0, 0)),
+                 constant_values=init)
+    xh = lax.reduce_window(xh, init, lax.max if mode == "max" else lax.add,
+                           (1, kh, 1, 1), (1, sh, 1, 1), "VALID")
+    # W/lane taps per output phase
+    taps = {}  # j -> [(du, i)]
+    for j in range(r_out):
+        taps[j] = []
+        for dx in range(kw):
+            t = sw * j + dx - pw
+            taps[j].append((t // r_in, t % r_in))
+    all_du = [du for tl in taps.values() for du, _ in tl]
+    du_min, du_max = min(all_du), max(all_du)
+    vmax = wo // r_out - 1
+    pl_p = max(0, -du_min)
+    pr_p = max(0, s_p * vmax + du_max - (wp - 1))
+    xw = jnp.pad(xh, ((0, 0), (0, 0), (pl_p, pr_p), (0, 0)),
+                 constant_values=init)
+    phases = []
+    for j in range(r_out):
+        acc = None
+        for du, i in taps[j]:
+            u0 = pl_p + du
+            sl = xw[:, :, u0 : u0 + s_p * vmax + 1 : s_p,
+                    i * c : (i + 1) * c]
+            acc = sl if acc is None else op(acc, sl)
+        phases.append(acc)
+    out = jnp.concatenate(phases, axis=-1) if r_out > 1 else phases[0]
+    if post is not None:
+        out = out / post
+    return out
+
+
 def spp(x, pyramid_height: int, *, mode="max"):
     """Spatial pyramid pooling (spp_layer.cpp): levels 0..h-1 pool to
     (2^l x 2^l) bins each, flattened+concatenated -> [N, C * sum 4^l]."""

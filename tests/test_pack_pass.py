@@ -103,12 +103,13 @@ def test_pool_producer_packs_and_pool_consumer_blocks():
     net = Net(specs, phase="test")
     params = net.init(jax.random.PRNGKey(2), {"data": (2, 8, 16, 4)})
     pnet = pack_narrow_chains(net, lanes=8)
-    # c0 is consumed by a pool -> cannot pack; p1/c1 pack (pool emits
-    # packed via phase-split windows)
-    assert "c0" not in pnet.packed_blobs
+    # the whole chain packs: conv0 emits packed, the pool consumes AND
+    # emits packed (2x2/s2 has integral packed stride), conv2 terminates
+    assert pnet.packed_blobs.get("c0") == 2
     assert pnet.packed_blobs.get("p1") == 2
     assert pnet.packed_blobs.get("c1") == 2
     by_name = {l.spec.name: l.spec for l in pnet.layers}
+    assert by_name["pool1"].params["pack_in"] == 2
     assert by_name["pool1"].params["pack_out"] == 2
 
     x = {"data": jnp.asarray(np.random.default_rng(3).standard_normal(
@@ -135,6 +136,113 @@ def test_avg_pool_packed_out_matches():
             np.asarray(want), rtol=1e-6, atol=1e-6)
 
 
+def test_pool2d_packed_through_variants():
+    from caffe_escoin_tpu.ops import pool as pool_ops
+    from caffe_escoin_tpu.ops import wpack
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 9, 16, 3)).astype(np.float32))
+    xp = jnp.asarray(wpack.pack_nhwc(np.asarray(x), 2))
+    for mode in ("max", "avg"):
+        for kern, st in (((2, 2), (2, 2)), ((3, 3), (2, 2))):
+            want = pool_ops.pool2d(x, kern, stride=st, padding=(0, 0),
+                                   mode=mode)
+            wo = want.shape[2]
+            # packed -> packed (when pooled width allows)
+            if wo % 2 == 0:
+                got = pool_ops.pool2d_packed(xp, kern, stride=st,
+                                             padding=(0, 0), mode=mode,
+                                             r_in=2, r_out=2)
+                np.testing.assert_allclose(
+                    wpack.unpack_nhwc(np.asarray(got), 2),
+                    np.asarray(want), rtol=1e-6, atol=1e-6,
+                    err_msg=f"{mode} {kern} packed->packed")
+            # packed -> unpacked
+            got1 = pool_ops.pool2d_packed(xp, kern, stride=st,
+                                          padding=(0, 0), mode=mode,
+                                          r_in=2, r_out=1)
+            np.testing.assert_allclose(
+                np.asarray(got1), np.asarray(want), rtol=1e-6, atol=1e-6,
+                err_msg=f"{mode} {kern} packed->unpacked")
+
+
+def test_lrn_groups_matches_logical():
+    from caffe_escoin_tpu.ops import norm as norm_ops
+    from caffe_escoin_tpu.ops import wpack
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3, 8, 6)).astype(np.float32)
+    want = norm_ops.lrn_across_channels(jnp.asarray(x), local_size=5)
+    xp = wpack.pack_nhwc(x, 2)
+    got = norm_ops.lrn_across_channels(jnp.asarray(xp), local_size=5,
+                                       groups=2)
+    np.testing.assert_allclose(
+        wpack.unpack_nhwc(np.asarray(got), 2), np.asarray(want),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_stem_chain_packs_through_lrn_and_pool():
+    """GoogLeNet-stem shape: pool(pack_out) -> LRN -> 1x1 -> 3x3 -> LRN ->
+    pool/s2 (packed-in, unpacked out)."""
+    specs = [
+        LayerSpec(name="conv1", type="ConvolutionReLU", bottoms=("data",),
+                  tops=("c1",), params=dict(num_output=4, kernel=3, pad=1,
+                                            stride=2)),
+        LayerSpec(name="pool1", type="Pooling", bottoms=("c1",),
+                  tops=("p1",), params=dict(kernel=3, stride=2)),
+        LayerSpec(name="norm1", type="LRN", bottoms=("p1",), tops=("n1",),
+                  params=dict(local_size=3)),
+        LayerSpec(name="reduce", type="ConvolutionReLU", bottoms=("n1",),
+                  tops=("rd",), params=dict(num_output=4, kernel=1, pad=0)),
+        LayerSpec(name="conv2", type="ConvolutionReLU", bottoms=("rd",),
+                  tops=("c2",), params=dict(num_output=6, kernel=3, pad=1)),
+        LayerSpec(name="norm2", type="LRN", bottoms=("c2",), tops=("n2",),
+                  params=dict(local_size=3)),
+        LayerSpec(name="pool2", type="Pooling", bottoms=("n2",),
+                  tops=("p2",), params=dict(kernel=3, stride=2)),
+        LayerSpec(name="convT", type="Convolution", bottoms=("p2",),
+                  tops=("t",), params=dict(num_output=8, kernel=1, pad=0)),
+    ]
+    net = Net(specs, phase="test")
+    params = net.init(jax.random.PRNGKey(4), {"data": (2, 18, 34, 3)})
+    pnet = pack_narrow_chains(net, lanes=8)
+    # c1 (conv->pool, 17-wide odd) unpacked; p1/n1/rd/c2/n2 packed; p2
+    # (pool2 out, consumed by plain conv) unpacked
+    assert set(pnet.packed_blobs) == {"p1", "n1", "rd", "c2", "n2"}, \
+        pnet.packed_blobs
+    by_name = {l.spec.name: l.spec for l in pnet.layers}
+    assert by_name["pool1"].params["pack_out"] == 2
+    assert by_name["norm1"].params["pack_in"] == 2
+    assert by_name["pool2"].params["pack_in"] == 2
+    assert by_name["pool2"].params.get("pack_out", 1) == 1
+
+    x = {"data": jnp.asarray(np.random.default_rng(7).standard_normal(
+        (2, 18, 34, 3)).astype(np.float32))}
+    want = net.apply(params, x)
+    got = pnet.apply(params, x)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_googlenet_stem_and_vgg_pack():
+    from caffe_escoin_tpu.models import ZOO
+    from caffe_escoin_tpu.nn.fuse import fuse_inference
+
+    for name, min_marks, probe in (("googlenet", 5, "pool1/3x3_s2"),
+                                   ("vgg16", 4, "conv1_1")):
+        builder, input_shapes = ZOO[name]
+        net = Net(builder(), phase="test")
+        net.init(jax.random.PRNGKey(0),
+                 {"data": (1,) + tuple(input_shapes["data"][1:])})
+        fnet, _ = fuse_inference(net, net.init(
+            jax.random.PRNGKey(0),
+            {"data": (1,) + tuple(input_shapes["data"][1:])}),
+            state=net.state0)
+        pnet = pack_narrow_chains(fnet)
+        marked = getattr(pnet, "packed_blobs", {})
+        assert len(marked) >= min_marks, (name, marked)
+        assert any(probe in b for b in marked), (name, sorted(marked))
+
+
 def test_resnet50_packs_stage1():
     """The flagship: stage-1 (56x56/C=64) packs end-to-end after fusion."""
     from caffe_escoin_tpu.models import ZOO
@@ -149,9 +257,11 @@ def test_resnet50_packs_stage1():
     marked = pnet.packed_blobs
     assert marked, "expected stage-1 blobs to pack"
     assert all(r == 2 for r in marked.values())
-    # every stage-1 bottleneck interior (56x56) is in; 28x28+ stages are
-    # not (C >= 128 seeds don't exist and nothing pulls them in)
+    # the stem (112x112 conv1 out) and every stage-1 blob (56x56) are in;
+    # 28x28+ stages are not (C >= 128 seeds don't exist and nothing pulls
+    # them in)
     shp = {b: fnet.blob_shapes[b] for b in marked}
-    assert all(s[1] == 56 for s in shp.values()), shp
-    # at least: pool1 out, 3 blocks x (branch2a, branch2b out) + stage tops
-    assert len(marked) >= 8
+    assert all(s[1] in (56, 112) for s in shp.values()), shp
+    assert "pool1" in marked and "res2c_out" in marked
+    # stem + pool1 + 3 blocks x (branch2a, branch2b out) + stage tops
+    assert len(marked) >= 10
