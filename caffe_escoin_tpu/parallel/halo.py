@@ -130,3 +130,68 @@ def spatial_sconv2d(x, aligned, *, mesh: Mesh, padding, policy,
         out_specs=P(None, axis_name, None, None),
         check_vma=False,
     )(x)
+
+
+def spatial_sconv_tower(x, aligneds, *, mesh: Mesh, policy,
+                        axis_name: str = "model", relu: bool = True):
+    """DEEP-HALO chain: a sequence of stride-1 'same'-pad sparse convs
+    under ONE shard_map entry and ONE halo exchange.
+
+    The r4 capture put the per-call fixed cost of shard_map + ppermute at
+    ~1.3us — 17-19% of a 14x14/7x7 layer (SCALING.jsonl
+    halo_overhead_1dev). Instead of exchanging (kh-1)/2 rows per layer,
+    exchange the SUM of the chain's halos once, then let each conv consume
+    its margin: layer i computes on a slab extended by sum_{j>=i} ph_j
+    rows, so its edge rows are exactly the values the global net computes
+    there (zero ppermute fill == global zero padding, layer by layer).
+    Per-layer fixed cost drops to 1/L of a call; the price is duplicated
+    compute on the shrinking margin (tiny exactly where the fixed cost
+    hurt — small maps). 1x1 layers chain through with zero halo (margin
+    rows ride along). Reference analogue: `copy_input_data` padded once
+    per layer (`math_functions.cu:729-766`); it had no multi-device halo
+    at all."""
+    from caffe_escoin_tpu.ops import conv as conv_ops
+
+    phs = []
+    for a in aligneds:
+        kh, kw = a.kernel_shape
+        phs.append(((kh - 1) // 2, (kw - 1) // 2))
+    total = sum(ph for ph, _ in phs)
+    n_shards = mesh.shape[axis_name]
+    if x.shape[1] // n_shards < total:
+        raise ValueError(
+            f"deep halo {total} exceeds per-shard rows "
+            f"{x.shape[1] // n_shards}; split the chain")
+
+    def fn(x_l):
+        idx = lax.axis_index(axis_name)
+        n_dev = lax.axis_size(axis_name)
+        ext = halo_exchange(x_l, total, axis_name)
+        m = total
+        for a, (ph, pw) in zip(aligneds, phs):
+            # full dispatcher (below-threshold layers run their dense
+            # arm); zero H padding — each conv consumes 2*ph margin rows
+            ext = conv_ops.conv2d(
+                ext, a, stride=(1, 1), padding=(0, pw), dilation=(1, 1),
+                relu=relu, policy=policy)
+            m -= ph
+            if m > 0:
+                # GLOBAL-edge correction: the global net re-pads every
+                # layer with zeros, so an edge shard's remaining margin
+                # rows must be zero — not the conv-of-real-data the deep
+                # margin computes there (measured 2% edge mismatch
+                # without this). Interior shards keep neighbor-region
+                # values. The select fuses into the epilogue.
+                h_ext = ext.shape[1]
+                rows = jnp.arange(h_ext)[None, :, None, None]
+                bad = ((idx == 0) & (rows < m)) | (
+                    (idx == n_dev - 1) & (rows >= h_ext - m))
+                ext = jnp.where(bad, jnp.zeros((), ext.dtype), ext)
+        return ext
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=P(None, axis_name, None, None),
+        out_specs=P(None, axis_name, None, None),
+        check_vma=False,
+    )(x)

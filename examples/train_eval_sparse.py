@@ -133,6 +133,17 @@ def main():
                          " AlexNet's 1989 gaussian-0.01 recipe plateaus at"
                          " chance on small datasets; the experiment's"
                          " subject is the pruning pipeline, not the init")
+    ap.add_argument("--modes", default="oneshot,deploy,gradual",
+                    help="comma set of experiment legs: oneshot (prune + "
+                         "masked fine-tune), deploy (unstructured-"
+                         "checkpoint pipeline), gradual (AGP in-training "
+                         "block pruning — the r5 route to ACCURATE block-"
+                         "sparse models; one-shot block pruning collapses "
+                         "at AlexNet scale, docs/EXPERIMENTS_alexnet.md)")
+    ap.add_argument("--gradual_iters", type=int, default=0,
+                    help="AGP ramp window (0 = same as --iters); the ramp "
+                         "is followed by --finetune_iters frozen-mask "
+                         "iterations")
     ap.add_argument("--report", default="")
     ap.add_argument("--workdir", default="/tmp/cescoin_experiment")
     ap.add_argument("--platform", default="cpu",
@@ -222,7 +233,10 @@ def main():
     sparse_net = Net(builder(include_loss=True), policy=sp_policy,
                      phase="test")
 
-    for gran, blk in (("unstructured", None), ("block", block)):
+    modes = set(args.modes.split(","))
+    oneshot_grans = ((("unstructured", None), ("block", block))
+                     if "oneshot" in modes else ())
+    for gran, blk in oneshot_grans:
         for sp in sparsities:
             pruned, pruned_names = prune_params(net, base_params, sp, blk)
             acc_pruned = evaluate(test_net, pruned, base_state, ted, tel)
@@ -254,6 +268,71 @@ def main():
             log(f"{gran} @ {sp:.0%}: pruned {acc_pruned:.4f} -> "
                 f"finetuned {acc_ft:.4f} -> sparse-exec {acc_sparse:.4f}")
 
+    # ---- GRADUAL (AGP) block pruning: sparsity ramped DURING training
+    # from the dense checkpoint, masks recomputed from live weights every
+    # schedule step, then frozen-mask fine-tuning. This is the leg the r4
+    # experiment showed missing: one-shot block-90% collapses AlexNet to
+    # chance (0.098) and masked fine-tuning cannot repair it; the cubic
+    # ramp (utils/pruning.agp_sparsity) lets surviving blocks absorb the
+    # pruned capacity step by step. Reference analogue: its in-training
+    # L1 pruning pressure (`sgd_solver.cpp:144-206`) — consumed models
+    # were pruned gradually by GESL/SkimCaffe externally.
+    if "gradual" in modes:
+        from caffe_escoin_tpu.utils.pruning import PruningSchedule
+
+        def _sel(name, key, leaf):
+            # the same layers prune_params targets: conv with cin >= 16
+            # and fc weights
+            if key != "w":
+                return False
+            shp = np.shape(leaf)
+            if len(shp) == 4:
+                return shp[2] >= 16
+            return len(shp) == 2
+
+        ramp = args.gradual_iters or args.iters
+        stab = args.finetune_iters
+        for sp in sparsities:
+            solver.params = base_params
+            solver.net_state = base_state
+            solver.state = jax.tree_util.tree_map(
+                jnp.zeros_like, base_solver_state)
+            solver.set_param_masks(None)
+            sched = PruningSchedule(
+                final_sparsity=sp, start_iter=solver.iter,
+                end_iter=solver.iter + ramp,
+                freq=max(10, ramp // 25), granularity="block",
+                block_shape=block)
+            solver.set_pruning_schedule(sched, select=_sel)
+            solver.step(train_iter(), ramp + stab, log=log)
+            solver.set_pruning_schedule(None)
+            acc_ft = evaluate(test_net, solver.params, solver.net_state,
+                              ted, tel)
+            aligned = sparse_net.weight_align(solver.params)
+            acc_sparse = evaluate(sparse_net, aligned, solver.net_state,
+                                  ted, tel)
+            pruned_names = [l.spec.name for l in net.layers
+                            if l.spec.name in solver.params
+                            and isinstance(solver.params[l.spec.name], dict)
+                            and "w" in solver.params[l.spec.name]
+                            and _sel(l.spec.name, "w",
+                                     solver.params[l.spec.name]["w"])]
+            tw = [np.asarray(solver.params[n]["w"]) for n in pruned_names]
+            achieved = (sum(float((w == 0).sum()) for w in tw)
+                        / max(1, sum(w.size for w in tw)))
+            row = dict(granularity="block_gradual", target_sparsity=sp,
+                       achieved_sparsity=round(float(achieved), 4),
+                       acc_pruned=None,
+                       acc_finetuned=round(float(acc_ft), 4),
+                       acc_sparse_exec=round(float(acc_sparse), 4),
+                       sparse_exec_delta=round(
+                           float(acc_sparse - acc_ft), 4),
+                       ramp_iters=ramp, stabilize_iters=stab)
+            results["rows"].append(row)
+            log(f"block_gradual @ {sp:.0%} (ramp {ramp}+{stab}): "
+                f"finetuned {acc_ft:.4f} -> sparse-exec {acc_sparse:.4f} "
+                f"(achieved {achieved:.1%})")
+
     # ---- unstructured-checkpoint DEPLOYMENT pipeline (any model):
     # greedy channel permutations (producer cout propagated free into the
     # consumer's cin) concentrate each unstructured pattern into fewer
@@ -263,7 +342,7 @@ def main():
     # the cost of converting the reference's unstructured workload into
     # MXU-executable structure (docs/PERFORMANCE.md "Unstructured sparsity
     # on TPU").
-    if True:
+    if "deploy" in modes:
         from caffe_escoin_tpu.sparse.permute import deploy_unstructured
 
         sp = max(sparsities)
@@ -311,9 +390,11 @@ def main():
           "acc sparse-exec | sparse-exec delta |",
           "|---|---|---|---|---|---|"]
     for r in results["rows"]:
+        ap_ = ("n/a (in-training)" if r.get("acc_pruned") is None
+               else f"{r['acc_pruned']:.4f}")
         md.append(f"| {r['granularity']} | {r['target_sparsity']:.0%} "
                   f"(got {r['achieved_sparsity']:.1%}) | "
-                  f"{r['acc_pruned']:.4f} | {r['acc_finetuned']:.4f} | "
+                  f"{ap_} | {r['acc_finetuned']:.4f} | "
                   f"{r['acc_sparse_exec']:.4f} | "
                   f"{r['sparse_exec_delta']:+.4f} |")
     if "unstructured_deployment" in results:

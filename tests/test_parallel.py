@@ -258,3 +258,48 @@ def test_dp_inference_forward_is_collective_free():
     for op in ("all-reduce", "all-gather", "reduce-scatter",
                "collective-permute", "all-to-all"):
         assert op not in txt, f"unexpected collective {op} in DP forward"
+
+
+@requires_8
+def test_halo_deep_tower_matches_sequential(rng):
+    """spatial_sconv_tower: ONE exchange for a k3 -> 1x1 -> k3 chain ==
+    the layerwise global reference (the r5 shard_map-edge amortization;
+    SCALING.jsonl halo_overhead_1dev was 17-19% on small maps)."""
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    policy = ExecutionPolicy(block_shape=(16, 16), use_pallas=False)
+    ws = [
+        prune_conv_weight(
+            rng.standard_normal((3, 3, 16, 16)).astype(np.float32), 0.8,
+            (16, 16)),
+        prune_conv_weight(
+            rng.standard_normal((1, 1, 16, 16)).astype(np.float32), 0.8,
+            (16, 16)),
+        prune_conv_weight(
+            rng.standard_normal((3, 3, 16, 32)).astype(np.float32), 0.8,
+            (16, 16)),
+    ]
+    aligneds = [weight_align(w, None, policy=policy) for w in ws]
+    x = rng.standard_normal((2, 16, 8, 16)).astype(np.float32)
+    out = halo.spatial_sconv_tower(jnp.asarray(x), aligneds, mesh=mesh,
+                                   policy=policy, relu=True)
+    ref = jnp.asarray(x)
+    for w in ws:
+        ph = (w.shape[0] - 1) // 2
+        ref = conv2d_reference(np.asarray(ref), w, None, padding=(ph, ph))
+        ref = jnp.maximum(jnp.asarray(ref), 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+@requires_8
+def test_halo_deep_tower_rejects_oversized_halo(rng):
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    policy = ExecutionPolicy(block_shape=(16, 16))
+    w = prune_conv_weight(
+        rng.standard_normal((7, 7, 16, 16)).astype(np.float32), 0.8,
+        (16, 16))
+    aligneds = [weight_align(w, None, policy=policy)] * 2
+    x = rng.standard_normal((1, 8, 8, 16)).astype(np.float32)
+    with pytest.raises(ValueError, match="deep halo"):
+        halo.spatial_sconv_tower(jnp.asarray(x), aligneds, mesh=mesh,
+                                 policy=policy)
