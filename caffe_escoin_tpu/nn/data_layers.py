@@ -84,19 +84,40 @@ class _PrefetchingDataLayer(Layer):
 
 @register_layer("Data")
 class DataLayer(_PrefetchingDataLayer):
-    """Record-database-backed data layer (data_layer.cpp). The reference
-    reads LMDB/LevelDB; the TPU build's database format is .cerec
-    (data/datasets.py + csrc/recordio.cc), same role: a sequential record
-    cursor feeding the prefetch thread."""
+    """Record-database-backed data layer (data_layer.cpp). Backends:
+    `.cerec` (the TPU build's native record database, data/datasets.py +
+    csrc/recordio.cc) and — r5 — the reference's own LMDB databases
+    (`src/caffe/util/db_lmdb.cpp`), read in place by the dependency-free
+    B+tree walker in data/lmdb_io.py (Datum records, `backend: "lmdb"` in
+    prototxt `data_param` or a `.mdb`/`data.mdb` source path). Same role
+    either way: a sequential record cursor feeding the prefetch thread."""
+
+    def _is_lmdb(self):
+        src = self.p["source"]
+        if str(self.p.get("backend", "")).lower() in ("lmdb", "1"):
+            return True
+        return (src.endswith(".mdb")
+                or os.path.exists(os.path.join(src, "data.mdb")))
 
     def _source(self):
+        if self._is_lmdb():
+            from caffe_escoin_tpu.data.lmdb_io import lmdb_source
+
+            return lmdb_source(self.p["source"], self.p["batch_size"])
         return cerec_source(self.p["source"], self.p["batch_size"])
 
     def out_shapes(self, params, in_shapes):
         n = self.p["batch_size"]
-        header = read_cerec_header(self.p["source"])
+        if self._is_lmdb():
+            from caffe_escoin_tpu.data.lmdb_io import (LmdbReader,
+                                                       datum_decode)
+
+            k, v = next(LmdbReader(self.p["source"]).items())
+            h, w, c = datum_decode(v)[0].shape
+        else:
+            header = read_cerec_header(self.p["source"])
+            h, w, c = header["sample_shape"]
         cs = (self.p.get("transform_param") or {}).get("crop_size", 0)
-        h, w, c = header["sample_shape"]
         if cs:
             h = w = cs
         return [(n, h, w, c), (n,)]

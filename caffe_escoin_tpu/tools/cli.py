@@ -288,8 +288,10 @@ def cmd_export_prototxt(args):
 
 
 def cmd_convert_imageset(args):
-    """`tools/convert_imageset.cpp`: '<path> <label>' list file -> .cerec
-    record database (the LMDB analogue)."""
+    """`tools/convert_imageset.cpp`: '<path> <label>' list file -> record
+    database. `--backend cerec` (default, the native format) or
+    `--backend lmdb` (Datum records readable by reference tooling,
+    data/lmdb_io.py)."""
     import numpy as np
 
     from caffe_escoin_tpu.data.datasets import write_cerec
@@ -308,8 +310,16 @@ def cmd_convert_imageset(args):
             os.path.join(root, path), color=not args.gray,
             new_height=args.resize_height, new_width=args.resize_width))
         labels.append(float(label))
-    write_cerec(args.output, np.stack(imgs),
-                np.asarray(labels, np.float32))
+    if getattr(args, "backend", "cerec") == "lmdb":
+        from caffe_escoin_tpu.data.lmdb_io import datum_encode, write_lmdb
+
+        items = [(b"%08d" % i, datum_encode(
+            np.asarray(img), label=int(lb)))
+            for i, (img, lb) in enumerate(zip(imgs, labels))]
+        write_lmdb(args.output, items)
+    else:
+        write_cerec(args.output, np.stack(imgs),
+                    np.asarray(labels, np.float32))
     print(f"wrote {len(imgs)} records to {args.output}")
     return 0
 
@@ -448,6 +458,8 @@ def main(argv=None):
     p_conv.add_argument("--gray", action="store_true")
     p_conv.add_argument("--shuffle", action="store_true")
     p_conv.add_argument("--seed", type=int, default=0)
+    p_conv.add_argument("--backend", choices=["cerec", "lmdb"],
+                        default="cerec")
     p_conv.set_defaults(fn=cmd_convert_imageset)
 
     p_mean = sub.add_parser("compute_image_mean")
