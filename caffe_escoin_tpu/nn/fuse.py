@@ -313,6 +313,9 @@ def pack_narrow_chains(net: Net, *, lanes: int = 128) -> Net:
             consumers.setdefault(b, []).append(i)
         for t in s.tops:
             producer[t] = i
+    # params shared ACROSS layers cannot repack: align() is per-layer and
+    # the sharing twin may run unpacked geometry on the same weights
+    share_targets = {s.share_params for s in specs if s.share_params}
 
     import math
 
@@ -340,6 +343,11 @@ def pack_narrow_chains(net: Net, *, lanes: int = 128) -> Net:
         ps = specs[pi]
         if ps.type in CONV_TYPES:
             if len(shapes.get(ps.bottoms[0], ())) != 4:
+                return False, needs
+            if ps.share_params is not None or ps.name in share_targets:
+                # a sharing twin may execute unpacked geometry on the
+                # same logical weights; align() repacks per-layer, so
+                # packing a shared conv would desync the pair
                 return False, needs
             kw, sw, dil, g = _conv_geom(ps)
             if dil != 1 or g != 1:
@@ -370,6 +378,8 @@ def pack_narrow_chains(net: Net, *, lanes: int = 128) -> Net:
             cs = specs[ci]
             if cs.type in CONV_TYPES:
                 if len(shapes.get(cs.bottoms[0], ())) != 4:
+                    return False, needs
+                if cs.share_params is not None or cs.name in share_targets:
                     return False, needs
                 kw, sw, dil, g = _conv_geom(cs)
                 if dil != 1 or g != 1:

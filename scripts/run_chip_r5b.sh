@@ -1,16 +1,26 @@
 #!/bin/bash
-# Round-5 chip queue B: waits for suite A, then stability probe,
-# googlenet retry (transient relay error killed the first attempt), halo
-# tower capture, and the AlexNet gradual-pruning accuracy experiment.
+# Round-5 chip queue B (v2): cache-deserialization hypothesis test first
+# (sparse e2e measured 0.923ms in the session that COMPILED it and
+# 1.287ms in sessions SERVING the persistent executable cache, while
+# dense rows match r4 exactly), then the stability probe, googlenet
+# retry, halo tower capture, and the AlexNet gradual-pruning experiment.
 cd /root/repo || exit 1
 L=logs/chip_r5b.log
 
-# wait for suite A (marker in its log), max 3h
 for i in $(seq 1 1080); do
   grep -q "ALL DONE" logs/chip_r5a.log 2>/dev/null && break
   sleep 10
 done
 echo "suite A done at $(date +%T), starting B" >> "$L"
+
+echo "=== cache hypothesis: fresh-compile e2e $(date +%T)" >> "$L"
+CESCOIN_COMPILE_CACHE=/root/.cache/cescoin_xla_fresh_$$ \
+  timeout 5400 python bench.py --e2e --batch 32 --calibrate \
+  --jsonl logs/r5_cachetest.jsonl >> "$L" 2>&1
+
+echo "=== cache hypothesis: cached-compile e2e again $(date +%T)" >> "$L"
+timeout 5400 python bench.py --e2e --batch 32 --calibrate \
+  --jsonl logs/r5_cachetest.jsonl >> "$L" 2>&1
 
 echo "=== stability probe $(date +%T)" >> "$L"
 timeout 2400 python scripts/exp_stability_r5.py >> "$L" 2>&1
