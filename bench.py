@@ -496,7 +496,8 @@ def run_e2e(args):
     # only the (pruned) payloads it actually reads reach the HLO.
     fwd_d = jax.jit(lambda p, i: net_d.apply(p, i))
     fwd_db = jax.jit(lambda p, i: net_db.apply(p, i))
-    fwd_s = net_s.inference_fn(aligned)
+    fwd_s = net_s.inference_fn(aligned,
+                               weights_as_args=args.weights_as_args)
 
     def first(out):
         return out[next(iter(out))]
@@ -513,7 +514,8 @@ def run_e2e(args):
 
         def _time_sparse():
             with _autotune.net_scope(args.model):
-                fn = net_s.inference_fn(aligned)
+                fn = net_s.inference_fn(
+                    aligned, weights_as_args=args.weights_as_args)
                 return device_time(lambda y: first(fn({"data": y})), x,
                                    iters=reps,
                                    arg_sets=[(xv,) for xv in xvars])
@@ -521,7 +523,8 @@ def run_e2e(args):
         calib_report = _autotune.calibrate_graph(
             _time_sparse, polish=args.calibrate_polish,
             net_tag=args.model, log=log)
-        fwd_s = net_s.inference_fn(aligned)
+        fwd_s = net_s.inference_fn(aligned,
+                                   weights_as_args=args.weights_as_args)
     td = device_time(lambda p, y: first(fwd_d(p, {"data": y})), params_d, x,
                      iters=reps,
                      arg_sets=[(params_d, xv) for xv in xvars])
@@ -581,6 +584,7 @@ def run_e2e(args):
         "fused": bool(args.fuse),
         "autotune": bool(args.autotune),
         "packed": bool(args.pack and args.fuse),
+        "weights_as_args": bool(args.weights_as_args),
     }
     if args.xbsp_arm != "auto":
         # diagnostic rows (forced executor arm) must be distinguishable
@@ -835,6 +839,11 @@ def main():
                     help="with --e2e: apply inference graph fusion "
                          "(BN/Scale fold + ReLU/residual epilogues) to all "
                          "arms (default on; --no-fuse for the raw graph)")
+    ap.add_argument("--weights-as-args", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="sparse net payloads as jit arguments instead of "
+                    "closed-over constants (pattern stays concrete; "
+                    "sparse.weight_align.split_payloads)")
     ap.add_argument("--pack", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="W-pair packed layout for narrow-channel towers "

@@ -278,16 +278,31 @@ class Net:
 
     # ------------------------------------------------------------------
     def inference_fn(self, aligned_params, *, align: bool = False,
-                     state: Optional[Dict[str, Any]] = None):
-        """Jitted forward with the weights CLOSED OVER (the standard sparse
-        deployment shape). Closing over — rather than passing the param
-        pytree as a traced argument — keeps the sparsity pattern concrete at
-        trace time, which enables the XBSP executor
-        (kernels/xla_block_sparse.py), the fastest sparse-conv arm. Pass
-        ``align=True`` to run weight_align here; ``state`` carries trained
-        moving statistics (init_with_state / Solver.net_state)."""
+                     state: Optional[Dict[str, Any]] = None,
+                     weights_as_args: bool = False):
+        """Jitted forward with the sparsity PATTERN closed over (concrete
+        at trace time — what enables the XBSP executor,
+        kernels/xla_block_sparse.py, the fastest sparse-conv arm).
+
+        ``weights_as_args=False`` (default): the whole aligned map is
+        closed over; payloads embed in the HLO as constants.
+        ``weights_as_args=True``: the big weight payloads ride as jit
+        ARGUMENTS via `sparse.weight_align.split_payloads` — same traced
+        structure (the pattern skeleton stays concrete), but the HLO
+        carries no multi-MB literals: faster serialization through a
+        remote-compile relay, and argument buffers stay device-resident
+        across executions unconditionally. Pass ``align=True`` to run
+        weight_align here; ``state`` carries trained moving statistics
+        (init_with_state / Solver.net_state)."""
         if align:
             aligned_params = self.weight_align(aligned_params)
+        if weights_as_args:
+            from caffe_escoin_tpu.sparse.weight_align import split_payloads
+
+            graft, payloads = split_payloads(aligned_params)
+            fwd = jax.jit(lambda pl, inputs: self.apply(
+                graft(pl), inputs, state=state))
+            return lambda inputs: fwd(payloads, inputs)
         return jax.jit(
             lambda inputs: self.apply(aligned_params, inputs, state=state))
 

@@ -115,6 +115,67 @@ class AlignedConvWeight:
         return self.kernel_shape[0] * self.kernel_shape[1] * self.cin_pad
 
 
+def split_payloads(aligned_params):
+    """Split an aligned-params map into (skeleton, payloads) so the big
+    weight PAYLOADS can ride as jit ARGUMENTS while the sparsity PATTERN
+    stays closed over (concrete at trace time — the XBSP requirement).
+
+    Closing the payloads over as constants embeds them in the HLO (tens
+    of MB of literals for ResNet-scale nets: slow serialization through a
+    remote-compile relay, and measured r5: executions of cache-restored
+    constant-heavy executables can carry a per-call re-staging cost that
+    argument buffers never pay — the dense arms, whose weights are
+    arguments, were session-stable while closed-over sparse nets varied).
+
+    Returns (graft, payloads): ``payloads`` is a plain pytree of arrays;
+    ``graft(traced_payloads)`` rebuilds the aligned map inside a trace.
+    Usage::
+
+        graft, pl = split_payloads(aligned)
+        fwd = jax.jit(lambda pl, x: net.apply(graft(pl), x))
+        fwd(pl, x)
+    """
+    payloads = {}
+    recipes = {}
+    for name, obj in aligned_params.items():
+        if isinstance(obj, AlignedConvWeight):
+            pl = {"dense": obj.dense}
+            if obj.bias is not None:
+                pl["bias"] = obj.bias
+            if obj.bsc is not None:
+                pl["bsc_blocks"] = obj.bsc.blocks
+                pl["bsc_flat"] = obj.bsc.flat_blocks
+            if obj.ell_t is not None:
+                pl["ell_values"] = obj.ell_t.values
+            payloads[name] = pl
+            recipes[name] = obj
+        else:
+            # plain param dicts (non-conv layers) ride whole
+            payloads[name] = obj
+            recipes[name] = None
+
+    def graft(pl):
+        out = {}
+        for name, base in recipes.items():
+            if base is None:
+                out[name] = pl[name]
+                continue
+            q = pl[name]
+            bsc = base.bsc
+            if bsc is not None:
+                bsc = dataclasses.replace(
+                    bsc, blocks=q["bsc_blocks"], flat_blocks=q["bsc_flat"])
+            ell = base.ell_t
+            if ell is not None:
+                ell = dataclasses.replace(ell, values=q["ell_values"])
+            out[name] = dataclasses.replace(
+                base, dense=q["dense"], bias=q.get("bias"), bsc=bsc,
+                ell_t=ell)
+        return out
+
+    return graft, payloads
+
+
 def weight_align(
     w_hwio,
     bias=None,

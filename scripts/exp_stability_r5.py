@@ -86,7 +86,21 @@ def main():
             fn = net_s.inference_fn(aligned)
             t = device_time(lambda y: first(fn({"data": y})), x, iters=20,
                             arg_sets=[(xv,) for xv in xvars])
+            # profiler-free cross-check: wall-clock a 200-iter dispatch
+            # loop (relay queueing amortizes over the loop). If this
+            # disagrees with the profiler number, the session variance is
+            # measurement attribution, not device execution.
+            jfn = jax.jit(lambda y: first(fn({"data": y})))
+            for xv in xvars:
+                jax.block_until_ready(jfn(xv))
+            t0 = time.time()
+            outs = None
+            for i in range(200):
+                outs = jfn(xvars[i % 4])
+            jax.block_until_ready(outs)
+            wall = (time.time() - t0) / 200
         print(json.dumps({"phase": tag, "t_sparse_ms": round(t * 1e3, 4),
+                          "wall_ms": round(wall * 1e3, 4),
                           "ts": time.strftime("%H:%M:%S")}), flush=True)
         return t
 
