@@ -406,8 +406,15 @@ def conv2d(
         profitable = False
 
     if mode == ConvMode.LOWERED_GEMM or not sparse_ready or not profitable:
+        # match the activation dtype: the sparse arms cast their payloads
+        # to x.dtype internally, and XLA's conv requires equal dtypes —
+        # a bf16 policy caller (e.g. a halo-tower shard fn) must not
+        # crash on a layer the dispatcher routes dense
+        wd = aligned.dense
+        if hasattr(x, "dtype") and wd.dtype != x.dtype:
+            wd = wd.astype(x.dtype)
         return conv2d_dense(
-            x, aligned.dense, aligned.bias, stride=stride, padding=padding,
+            x, wd, aligned.bias, stride=stride, padding=padding,
             dilation=dilation, groups=aligned.groups, relu=relu,
             residual=residual,
         )

@@ -169,11 +169,14 @@ def spatial_sconv_tower(x, aligneds, *, mesh: Mesh, policy,
         ext = halo_exchange(x_l, total, axis_name)
         m = total
         for a, (ph, pw) in zip(aligneds, phs):
-            # full dispatcher (below-threshold layers run their dense
-            # arm); zero H padding — each conv consumes 2*ph margin rows
+            # full dispatcher in SCONV_PAR mode (below-threshold layers
+            # fall back to their dense arm); zero H padding — each conv
+            # consumes 2*ph margin rows
+            from caffe_escoin_tpu.engine.context import ConvMode
+
             ext = conv_ops.conv2d(
                 ext, a, stride=(1, 1), padding=(0, pw), dilation=(1, 1),
-                relu=relu, policy=policy)
+                relu=relu, policy=policy, mode=ConvMode.SCONV_PAR)
             m -= ph
             if m > 0:
                 # GLOBAL-edge correction: the global net re-pads every
