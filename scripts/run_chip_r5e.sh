@@ -18,3 +18,7 @@ echo "=== alexnet re-tune with polish $(date +%T)" >> "$L"
 timeout 4200 python bench.py --e2e --model alexnet --batch 32 --calibrate \
   --calibrate-polish 10 --jsonl BENCH_SWEEP.jsonl >> "$L" 2>&1
 echo "E2 ALL DONE $(date +%T)" >> "$L"
+echo "=== no-pack A/B $(date +%T)" >> "$L"
+timeout 4200 python bench.py --e2e --batch 32 --calibrate --no-pack \
+  --jsonl logs/r5_nopack.jsonl >> "$L" 2>&1
+echo "E3 ALL DONE $(date +%T)" >> "$L"
