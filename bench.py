@@ -896,6 +896,16 @@ def main():
         if args.batch == ap.get_default("batch"):
             args.batch = 32
         args.repeats = max(args.repeats, 8)
+        # the default (headline) invocation calibrates WITH a bounded
+        # polish: composed sparse times shift between remote-compile-
+        # service eras (docs/PERFORMANCE.md "cross-session variance"),
+        # and polish re-selects per-key arms under the CURRENT era's
+        # compile behavior — measured r5: it recovered AlexNet from a
+        # slow-era 1.37x to 2.14x. Costs ~10 min of composed re-timings;
+        # cached arms make it a no-op-ish when the assignment stands.
+        if args.autotune and not args.calibrate:
+            args.calibrate = True
+            args.calibrate_polish = max(args.calibrate_polish, 8)
 
     # measured-arm table: default to the repo's committed on-chip table so
     # a bare `python bench.py` reuses prior measurements instead of
