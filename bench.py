@@ -463,6 +463,18 @@ def run_e2e(args):
         net_s, pruned_s = fuse_inference(net_s, pruned, state=state)
         n_before = len(builder())
         log(f"fusion: {n_before} -> {len(net_s.layers)} layers")
+        use_s2d = (args.model in ("googlenet",)
+                   if args.s2d is None else args.s2d)
+        if use_s2d:
+            # space-to-depth stem fold (nn/fuse.fold_stem_s2d): per-model
+            # default follows the composed on-chip A/B (r5: wins on the
+            # googlenet stem, loses on resnet/alexnet where XLA's own
+            # batch-minor conv1 layout is already competitive) — the same
+            # measured-acceptance rule as the autotune arms. Sparse
+            # deployment arm only; dense baselines stay stock XLA convs.
+            from caffe_escoin_tpu.nn.fuse import fold_stem_s2d
+            net_s, pruned_s = fold_stem_s2d(net_s, pruned_s)
+            log("stem s2d fold applied (sparse arm)")
         if args.pack:
             # W-pair packed layout for narrow-channel towers (nn/fuse.py
             # pack_narrow_chains; ops/wpack.py): a framework graph
@@ -584,6 +596,8 @@ def run_e2e(args):
         "fused": bool(args.fuse),
         "autotune": bool(args.autotune),
         "packed": bool(args.pack and args.fuse),
+        "s2d": bool(args.fuse and (args.model in ("googlenet",)
+                                   if args.s2d is None else args.s2d)),
         "weights_as_args": bool(args.weights_as_args),
     }
     if args.xbsp_arm != "auto":
@@ -858,6 +872,11 @@ def main():
                     default=True,
                     help="W-pair packed layout for narrow-channel towers "
                     "(sparse arm; nn/fuse.pack_narrow_chains)")
+    ap.add_argument("--s2d", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="space-to-depth stem-conv fold (sparse arm; "
+                    "nn/fuse.fold_stem_s2d). Default: on for models whose "
+                    "composed capture wins (googlenet), off otherwise")
     ap.add_argument("--autotune", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="measured per-shape executor selection with a "

@@ -45,6 +45,7 @@ import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from caffe_escoin_tpu.nn.net import LayerSpec, Net
@@ -342,6 +343,8 @@ def pack_narrow_chains(net: Net, *, lanes: int = 128) -> Net:
         pi = producer[b]
         ps = specs[pi]
         if ps.type in CONV_TYPES:
+            if ps.params.get("s2d_r"):
+                return False, needs  # s2d stem convs keep their own layout
             if len(shapes.get(ps.bottoms[0], ())) != 4:
                 return False, needs
             if ps.share_params is not None or ps.name in share_targets:
@@ -377,6 +380,8 @@ def pack_narrow_chains(net: Net, *, lanes: int = 128) -> Net:
         for ci in consumers.get(b, []):
             cs = specs[ci]
             if cs.type in CONV_TYPES:
+                if cs.params.get("s2d_r"):
+                    return False, needs
                 if len(shapes.get(cs.bottoms[0], ())) != 4:
                     return False, needs
                 if cs.share_params is not None or cs.name in share_targets:
@@ -466,3 +471,78 @@ def pack_narrow_chains(net: Net, *, lanes: int = 128) -> Net:
         for b, shp in shapes.items()}
     out.packed_blobs = dict(packed)
     return out
+
+
+def fold_stem_s2d(net: Net, params: Dict[str, Any],
+                  *, max_lanes: int = 128) -> Tuple[Net, Dict[str, Any]]:
+    """Space-to-depth reformulation of the stem conv (ops/s2d.py).
+
+    Finds 2-D convs whose bottom is a NET INPUT (an image) with
+    cin*stride^2 <= max_lanes, square stride r >= 2, dilation 1, group 1,
+    and rewrites them to run stride-1 over the [N, H/r, W/r, r*r*C]
+    space-to-depth layout: the weight is remapped tap-by-tap
+    (`s2d_weight`, zero structure preserved) and the spec's geometry
+    becomes the packed kernel; `ConvolutionLayer.apply` inserts the input
+    transform. Exact by construction (tests/test_s2d.py).
+
+    Why: the r5 GoogLeNet op profile measured conv1/7x7_s2 at 289us
+    composed (26% of the whole sparse e2e, b16) against a ~20us MXU
+    bound — a cin=3 conv occupies 3/128 MXU lanes per tap. The s2d form
+    quadruples the per-tap contraction depth and quarters the window
+    iteration count (measured 1.24x on the isolated gln stem,
+    logs/r5_s2d.jsonl); it is applied per-model where the COMPOSED
+    measurement wins (bench.py --s2d / --no-s2d), the same
+    measured-acceptance rule as every other executor choice here.
+
+    Runs after `fuse_inference` (needs folded dense weights), before
+    `pack_narrow_chains` (which skips s2d convs). Returns (net, params)
+    with remapped stem weights; non-stem layers share the input mapping.
+    """
+    from caffe_escoin_tpu.ops import s2d as _s2d
+
+    specs = list(net.specs)
+    produced = {t for s in specs for t in s.tops}
+    new_params = dict(params)
+    out_specs: list = []
+    n_folded = 0
+    for s in specs:
+        if (s.type not in CONV_TYPES or not s.bottoms
+                or s.bottoms[0] in produced or s.share_params is not None
+                or s.params.get("s2d_r") or s.params.get("pack_in")
+                or s.params.get("pack_out") or s.params.get("fuse_add")):
+            out_specs.append(s)
+            continue
+        p = new_params.get(s.name)
+        if not isinstance(p, dict) or "w" not in p or p["w"].ndim != 4:
+            out_specs.append(s)
+            continue
+        kh, kw, cin, cout = p["w"].shape
+        prm = s.params
+
+        def dim(v, d, i):
+            v = prm.get(v, d)
+            return int(v[i]) if isinstance(v, (tuple, list)) else int(v)
+
+        sh, sw = dim("stride", 1, 0), dim("stride", 1, 1)
+        ph, pw = dim("pad", 0, 0), dim("pad", 0, 1)
+        if (sh != sw or sh < 2 or dim("dilation", 1, 0) != 1
+                or dim("dilation", 1, 1) != 1
+                or int(prm.get("group", 1)) != 1
+                or cin * sh * sh > max_lanes):
+            out_specs.append(s)
+            continue
+        r = sh
+        w = np.asarray(jax.device_get(p["w"]))
+        wp = _s2d.s2d_weight(w, r, (ph, pw))
+        new_params[s.name] = dict(p, w=jnp.asarray(wp))
+        out_specs.append(dataclasses.replace(s, params=dict(
+            prm, kernel=[wp.shape[0], wp.shape[1]], stride=1, pad=0,
+            s2d_r=r, s2d_kernel=[kh, kw], s2d_pad=[ph, pw])))
+        n_folded += 1
+    if not n_folded:
+        return net, params
+    out = Net(out_specs, policy=net.policy, phase=net.phase)
+    out.state0 = getattr(net, "state0", {})
+    if hasattr(net, "blob_shapes"):
+        out.blob_shapes = dict(net.blob_shapes)
+    return out, new_params

@@ -159,6 +159,18 @@ class ConvolutionLayer(Layer):
                 else l,
                 params,
             )
+        sd = self.p.get("s2d_r")
+        if sd:
+            # space-to-depth stem reformulation (ops/s2d.py; set by
+            # nn/fuse.fold_stem_s2d): the strided small-cin conv runs as a
+            # stride-1 conv over the [N, H/r, W/r, r*r*C] layout. The spec's
+            # kernel/stride/pad already describe the REMAPPED kernel; only
+            # the input needs the layout transform here.
+            from caffe_escoin_tpu.ops import s2d as s2d_ops
+
+            x = s2d_ops.s2d_input(x, sd, tuple(self.p["s2d_kernel"]),
+                                  tuple(self.p["s2d_pad"]))
+            c = self._conf(x.shape)
         r_in, r_out = self._pack()
         if c["nsp"] != 2:
             out = conv_ops.convnd_dense(

@@ -198,6 +198,32 @@ def pool2d_packed(x, kernel, *, stride=None, padding=(0, 0), mode="max",
     xh = lax.reduce_window(xh, init, lax.max if mode == "max" else lax.add,
                            (1, kh, 1, 1), (1, sh, 1, 1), "VALID")
     # W/lane taps per output phase
+    if sw == r_in:
+        # Phase j's tap set is phase 0's shifted by j packed pixels
+        # (t = sw*j + dx - pw with sw == r_in shifts du by j, same lane
+        # block), so ONE per-packed-pixel reduction U over unit-stride
+        # shifted lane-block views serves every phase: out_j[v] =
+        # U[r_out*v + j], i.e. the packed output is the row-major
+        # lane-merge reshape of U. No strided slices: the r5 ResNet b32
+        # op profile measured the strided-slice form below at ~380us of
+        # gather/relayout copies (copy.212 + pad.2.clone +5 gathers) in
+        # slow compile-service eras, vs a bytes-bound elementwise chain
+        # for this formulation.
+        taps0 = [((dx - pw) // r_in, (dx - pw) % r_in) for dx in range(kw)]
+        du_min = min(du for du, _ in taps0)
+        du_max = max(du for du, _ in taps0)
+        pl_p = max(0, -du_min)
+        pr_p = max(0, (wo - 1) + du_max - (wp - 1))
+        xw = jnp.pad(xh, ((0, 0), (0, 0), (pl_p, pr_p), (0, 0)),
+                     constant_values=init)
+        acc = None
+        for du, i in taps0:
+            sl = xw[:, :, pl_p + du: pl_p + du + wo, i * c:(i + 1) * c]
+            acc = sl if acc is None else op(acc, sl)
+        out = acc.reshape(n, ho, wo // r_out, r_out * c)
+        if post is not None:
+            out = out / post
+        return out
     taps = {}  # j -> [(du, i)]
     for j in range(r_out):
         taps[j] = []

@@ -143,26 +143,29 @@ def test_pool2d_packed_through_variants():
     x = jnp.asarray(rng.standard_normal((2, 9, 16, 3)).astype(np.float32))
     xp = jnp.asarray(wpack.pack_nhwc(np.asarray(x), 2))
     for mode in ("max", "avg"):
-        for kern, st in (((2, 2), (2, 2)), ((3, 3), (2, 2))):
-            want = pool_ops.pool2d(x, kern, stride=st, padding=(0, 0),
+        for kern, st, pad in (((2, 2), (2, 2), (0, 0)),
+                              ((3, 3), (2, 2), (0, 0)),
+                              ((3, 3), (2, 2), (1, 1)),   # ResNet pool1
+                              ((3, 3), (4, 4), (1, 1))):  # sw != r_in path
+            want = pool_ops.pool2d(x, kern, stride=st, padding=pad,
                                    mode=mode)
             wo = want.shape[2]
             # packed -> packed (when pooled width allows)
             if wo % 2 == 0:
                 got = pool_ops.pool2d_packed(xp, kern, stride=st,
-                                             padding=(0, 0), mode=mode,
+                                             padding=pad, mode=mode,
                                              r_in=2, r_out=2)
                 np.testing.assert_allclose(
                     wpack.unpack_nhwc(np.asarray(got), 2),
                     np.asarray(want), rtol=1e-6, atol=1e-6,
-                    err_msg=f"{mode} {kern} packed->packed")
+                    err_msg=f"{mode} {kern} {pad} packed->packed")
             # packed -> unpacked
             got1 = pool_ops.pool2d_packed(xp, kern, stride=st,
-                                          padding=(0, 0), mode=mode,
+                                          padding=pad, mode=mode,
                                           r_in=2, r_out=1)
             np.testing.assert_allclose(
                 np.asarray(got1), np.asarray(want), rtol=1e-6, atol=1e-6,
-                err_msg=f"{mode} {kern} packed->unpacked")
+                err_msg=f"{mode} {kern} {pad} packed->unpacked")
 
 
 def test_lrn_groups_matches_logical():
