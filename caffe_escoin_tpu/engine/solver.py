@@ -15,6 +15,7 @@ SIGINT -> stop (snapshot_after_train honored), SIGHUP -> snapshot.
 
 from __future__ import annotations
 
+import os
 import signal
 import time
 from typing import Callable, Dict, Iterator, Optional
@@ -28,6 +29,18 @@ from caffe_escoin_tpu.engine.checkpoint import (load_checkpoint_full,
                                                 save_checkpoint)
 from caffe_escoin_tpu.engine.lr_policies import learning_rate
 from caffe_escoin_tpu.nn.net import Net
+
+
+def _vm_rss_gb() -> float:
+    """Current process VmRSS in GB (0.0 where /proc is unavailable)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS"):
+                    return float(line.split()[1]) / 1e6  # kB -> GB
+    except OSError:
+        pass
+    return 0.0
 
 
 class Solver:
@@ -80,6 +93,17 @@ class Solver:
         self.pruning_schedule = None
         self._prune_select = None
         self._last_mask_sparsity = None
+        # Host-RSS guard: the remote-dispatch relay client leaks ~40 MB of
+        # host memory per training iteration (characterized r5,
+        # docs/EXPERIMENTS_alexnet.md — framework- and jax-core-clean on
+        # the CPU backend, where RSS saturates). Instead of an OOM kill
+        # mid-phase, the loop snapshots and stops cleanly when VmRSS
+        # crosses the limit; callers respawn a fresh process and
+        # `restore()`. Default from $CESCOIN_RSS_LIMIT_GB; None disables.
+        lim = os.environ.get("CESCOIN_RSS_LIMIT_GB")
+        self.rss_limit_gb: Optional[float] = float(lim) if lim else None
+        self.rss_check_every = 50
+        self.rss_stopped = False
 
     # ------------------------------------------------------------------
     def set_param_masks(self, masks) -> None:
@@ -275,6 +299,16 @@ class Solver:
             if self._snapshot_requested:
                 self.snapshot()
                 self._snapshot_requested = False
+            if (self.rss_limit_gb is not None
+                    and self.iter % self.rss_check_every == 0
+                    and _vm_rss_gb() > self.rss_limit_gb):
+                path = self.snapshot()
+                self.rss_stopped = True
+                log(f"Iteration {self.iter}: host RSS "
+                    f"{_vm_rss_gb():.1f} GB > limit {self.rss_limit_gb} GB "
+                    f"(relay-client leak guard) — snapshotted to {path}, "
+                    "stopping; restore() in a fresh process to continue")
+                break
         return self.params
 
     # ------------------------------------------------------------------

@@ -266,3 +266,38 @@ def test_param_multipliers_from_specs_end_to_end():
                               np.zeros(1))
     # fc2 did move
     assert float(np.abs(np.asarray(solver.params["fc2"]["w"])).sum()) > 0
+
+
+def test_rss_guard_snapshots_and_stops(tmp_path):
+    """The relay-client host-RSS leak guard (engine/solver.py): when VmRSS
+    crosses rss_limit_gb the loop snapshots and stops cleanly (instead of
+    the r4 OOM kill at ~130 GB), and a fresh solver restores and
+    continues from the same iteration."""
+    from caffe_escoin_tpu.nn import LayerSpec
+
+    specs = [
+        LayerSpec("ip", "InnerProduct", ("data",), params=dict(num_output=2)),
+        LayerSpec("loss", "SoftmaxWithLoss", ("ip", "label")),
+    ]
+    net = Net(specs, phase="train")
+    cfg = SolverConfig(solver_type="sgd", base_lr=0.01)
+    s = Solver(net, cfg, snapshot_prefix=str(tmp_path / "rss"), display=0)
+    s.init({"data": (4, 3), "label": (4,)})
+    s.rss_limit_gb = 1e-6  # any real process exceeds this immediately
+    s.rss_check_every = 3
+    rng = np.random.default_rng(0)
+    batch = {"data": jnp.asarray(rng.standard_normal((4, 3)),
+                                 dtype=jnp.float32),
+             "label": jnp.asarray([0, 1, 0, 1])}
+    msgs = []
+    s.step(iter([batch] * 100), 100, log=msgs.append)
+    assert s.rss_stopped
+    assert s.iter == 3  # stopped at the first check, not after 100
+    assert any("RSS" in m for m in msgs)
+    # clean continuation in a "fresh process"
+    s2 = Solver(net, cfg, snapshot_prefix=str(tmp_path / "rss"), display=0)
+    s2.init({"data": (4, 3), "label": (4,)})
+    s2.restore(str(tmp_path / "rss") + "_iter_3")
+    assert s2.iter == 3
+    s2.step(iter([batch] * 10), 10, log=lambda m: None)
+    assert s2.iter == 13 and not s2.rss_stopped
