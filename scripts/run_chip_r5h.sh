@@ -15,3 +15,15 @@ echo "=== resnet50 b8 e2e $(date +%T)" >> "$L"
 timeout 4200 python bench.py --e2e --model resnet50 --batch 8 --calibrate \
   --calibrate-polish 8 --jsonl BENCH_SWEEP.jsonl >> "$L" 2>&1
 echo "R5H ALL DONE $(date +%T)" >> "$L"
+echo "=== googlenet s2d NO-PACK A/B $(date +%T)" >> "$L"
+timeout 4200 python bench.py --e2e --model googlenet --batch 16 --no-pack \
+  --calibrate --calibrate-polish 8 --jsonl BENCH_SWEEP.jsonl >> "$L" 2>&1
+echo "R5H2 ALL DONE $(date +%T)" >> "$L"
+echo "=== vgg16 b16 e2e (packed-pool fast path) $(date +%T)" >> "$L"
+timeout 4200 python bench.py --e2e --model vgg16 --batch 16 --calibrate \
+  --calibrate-polish 8 --jsonl BENCH_SWEEP.jsonl >> "$L" 2>&1
+echo "R5H3 ALL DONE $(date +%T)" >> "$L"
+echo "=== resnet50 b64 e2e $(date +%T)" >> "$L"
+timeout 4200 python bench.py --e2e --model resnet50 --batch 64 --calibrate \
+  --calibrate-polish 8 --jsonl BENCH_SWEEP.jsonl >> "$L" 2>&1
+echo "R5H4 ALL DONE $(date +%T)" >> "$L"
