@@ -27,3 +27,7 @@ echo "=== resnet50 b64 e2e $(date +%T)" >> "$L"
 timeout 4200 python bench.py --e2e --model resnet50 --batch 64 --calibrate \
   --calibrate-polish 8 --jsonl BENCH_SWEEP.jsonl >> "$L" 2>&1
 echo "R5H4 ALL DONE $(date +%T)" >> "$L"
+echo "=== alexnet b32 e2e (era recapture) $(date +%T)" >> "$L"
+timeout 4200 python bench.py --e2e --model alexnet --batch 32 --calibrate \
+  --calibrate-polish 8 --jsonl BENCH_SWEEP.jsonl >> "$L" 2>&1
+echo "R5H5 ALL DONE $(date +%T)" >> "$L"
