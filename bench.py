@@ -708,9 +708,18 @@ def run_halo(args):
             return halo.spatial_sconv_tower(y, als, mesh=mesh, policy=pol,
                                             relu=True)
 
+        def chain_one(y):
+            # ONE shard_map entry, per-layer exchanges, exact compute
+            # (parallel/halo.spatial_sconv_chain, r5h)
+            return halo.spatial_sconv_chain(y, als, mesh=mesh, policy=pol,
+                                            relu=True)
+
         err = float(jnp.max(jnp.abs(
             jax.jit(chain_plain)(x).astype(jnp.float32)
             - jax.jit(chain_tower)(x).astype(jnp.float32))))
+        err_c = float(jnp.max(jnp.abs(
+            jax.jit(chain_plain)(x).astype(jnp.float32)
+            - jax.jit(chain_one)(x).astype(jnp.float32))))
         reps = max(args.repeats, 8)
         tp = device_time(chain_plain, x, iters=reps,
                          arg_sets=[(xv,) for xv in xs])
@@ -718,16 +727,21 @@ def run_halo(args):
                          arg_sets=[(xv,) for xv in xs])
         tt = device_time(chain_tower, x, iters=reps,
                          arg_sets=[(xv,) for xv in xs])
+        tc = device_time(chain_one, x, iters=reps,
+                         arg_sets=[(xv,) for xv in xs])
         log(f"halo tower {hw}x{hw} {cin}: plain {tp*1e6:7.1f}us "
             f"per-layer {tl*1e6:7.1f}us ({tl/tp-1:+.1%}) tower "
-            f"{tt*1e6:7.1f}us ({tt/tp-1:+.1%}) err {err:.1e}")
+            f"{tt*1e6:7.1f}us ({tt/tp-1:+.1%}) one-entry "
+            f"{tc*1e6:7.1f}us ({tc/tp-1:+.1%}) err {err:.1e}/{err_c:.1e}")
         rows.append({"metric": "halo_tower_overhead_1dev", "h": hw,
                      "w": hw, "cin": cin, "layers": 3,
                      "batch": args.batch, "sparsity": args.sparsity,
                      "t_plain_us": round(tp * 1e6, 2),
                      "t_perlayer_us": round(tl * 1e6, 2),
                      "t_tower_us": round(tt * 1e6, 2),
+                     "t_chain_us": round(tc * 1e6, 2),
                      "overhead_perlayer": round(tl / tp - 1.0, 4),
+                     "overhead_chain": round(tc / tp - 1.0, 4),
                      "overhead": round(tt / tp - 1.0, 4), "err": err,
                      "backend": jax.default_backend()})
 
@@ -742,7 +756,7 @@ def run_halo(args):
     for r in rows:
         key = (r["h"], r["cin"])
         ov = r.get("overhead_perlayer", r["overhead"])
-        ov = min(ov, r["overhead"])
+        ov = min(ov, r["overhead"], r.get("overhead_chain", ov))
         cur = best_by_shape.get(key)
         best_by_shape[key] = ov if cur is None else min(cur, ov)
     worst = max(best_by_shape.values())

@@ -198,3 +198,44 @@ def spatial_sconv_tower(x, aligneds, *, mesh: Mesh, policy,
         out_specs=P(None, axis_name, None, None),
         check_vma=False,
     )(x)
+
+
+def spatial_sconv_chain(x, aligneds, *, mesh: Mesh, policy,
+                        axis_name: str = "model", relu: bool = True):
+    """Chain of stride-1 'same'-pad sparse convs under ONE shard_map
+    entry with PER-LAYER halo exchanges (no margin duplication).
+
+    The middle point between per-layer `spatial_sconv2d` calls (L
+    shard_map entries, L exchanges) and `spatial_sconv_tower` (1 entry,
+    1 exchange, duplicated margin compute that loses on one device): one
+    entry, L exchanges, exact per-layer compute. On a single chip the
+    ~1.3us fixed shard_map dispatch (SCALING.jsonl halo_overhead_1dev)
+    amortizes over the whole chain — the 7x7-map tail that per-layer
+    chaining left at +14.5% — and on a real slice each exchange is still
+    just one ppermute of (kh-1)/2 rows. Exactness: stride-1 kh=2*ph+1
+    convs return exactly the shard's rows (h + 2ph - kh + 1 == h), and
+    ppermute's zero fill at global edges IS the global zero padding."""
+    from caffe_escoin_tpu.engine.context import ConvMode
+    from caffe_escoin_tpu.ops import conv as conv_ops
+
+    phs = []
+    for a in aligneds:
+        kh, kw = a.kernel_shape
+        assert kh % 2 == 1, "spatial chain needs odd kernels ('same' pad)"
+        phs.append(((kh - 1) // 2, (kw - 1) // 2))
+
+    def fn(x_l):
+        out = x_l
+        for a, (ph, pw) in zip(aligneds, phs):
+            ext = halo_exchange(out, ph, axis_name)
+            out = conv_ops.conv2d(
+                ext, a, stride=(1, 1), padding=(0, pw), dilation=(1, 1),
+                relu=relu, policy=policy, mode=ConvMode.SCONV_PAR)
+        return out
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=P(None, axis_name, None, None),
+        out_specs=P(None, axis_name, None, None),
+        check_vma=False,
+    )(x)

@@ -303,3 +303,34 @@ def test_halo_deep_tower_rejects_oversized_halo(rng):
     with pytest.raises(ValueError, match="deep halo"):
         halo.spatial_sconv_tower(jnp.asarray(x), aligneds, mesh=mesh,
                                  policy=policy)
+
+
+@requires_8
+def test_halo_chain_matches_sequential(rng):
+    """spatial_sconv_chain: ONE shard_map entry, per-layer exchanges, no
+    margin duplication — must equal the layerwise global reference (the
+    r5h amortization of the 7x7-map +14.5% per-layer edge)."""
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    policy = ExecutionPolicy(block_shape=(16, 16), use_pallas=False)
+    ws = [
+        prune_conv_weight(
+            rng.standard_normal((3, 3, 16, 16)).astype(np.float32), 0.8,
+            (16, 16)),
+        prune_conv_weight(
+            rng.standard_normal((1, 1, 16, 16)).astype(np.float32), 0.8,
+            (16, 16)),
+        prune_conv_weight(
+            rng.standard_normal((3, 3, 16, 32)).astype(np.float32), 0.8,
+            (16, 16)),
+    ]
+    aligneds = [weight_align(w, None, policy=policy) for w in ws]
+    x = rng.standard_normal((2, 16, 8, 16)).astype(np.float32)
+    out = halo.spatial_sconv_chain(jnp.asarray(x), aligneds, mesh=mesh,
+                                   policy=policy, relu=True)
+    ref = jnp.asarray(x)
+    for w in ws:
+        ph = (w.shape[0] - 1) // 2
+        ref = conv2d_reference(np.asarray(ref), w, None, padding=(ph, ph))
+        ref = jnp.maximum(jnp.asarray(ref), 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
