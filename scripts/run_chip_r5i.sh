@@ -14,3 +14,6 @@ echo "=== batch curve $(date +%T)" >> "$L"
 timeout 4200 python bench.py --batch-curve --model resnet50 \
   --jsonl BENCH_SWEEP.jsonl >> "$L" 2>&1
 echo "R5I ALL DONE $(date +%T)" >> "$L"
+echo "=== halo overhead (one-entry chain) $(date +%T)" >> "$L"
+timeout 4200 python bench.py --halo --jsonl SCALING.jsonl >> "$L" 2>&1
+echo "R5I2 ALL DONE $(date +%T)" >> "$L"
